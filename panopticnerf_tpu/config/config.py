@@ -1,0 +1,291 @@
+"""L0 config system: typed dataclass tree with YAML + CLI override ergonomics.
+
+The reference vendors yacs and drives everything from a global ``cfg``
+CfgNode merged from a YAML file plus positional ``KEY VALUE`` CLI overrides
+([pn] lib/config/{config.py,yacs.py}, unverified — SURVEY.md §2.2). Here the
+same ergonomics are provided over *typed* dataclasses: unknown keys are hard
+errors, values are coerced to the declared field type, and reference-style
+flat keys (``use_stereo True weight_th 0.05``) are accepted via an alias
+table so published reference commands translate 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Tuple
+
+import yaml
+
+
+@dataclass
+class DataConfig:
+    """L1 data pipeline settings (reference: cfg keys on the Dataset)."""
+
+    dataset: str = "synthetic"  # "synthetic" | "kitti360"
+    root: str = "datasets/KITTI-360"
+    sequence: str = "2013_05_28_drive_0000_sync"
+    # Frame window, as in the reference's per-experiment YAMLs (start + count).
+    frame_start: int = 0
+    frame_num: int = 64
+    frame_step: int = 1
+    # Image downscale ratio (1.0 = full res; 0.25 = quarter).
+    ratio: float = 1.0
+    # Camera streams.
+    use_stereo: bool = True        # image_00 + image_01 perspective pair
+    use_fisheye: bool = False      # image_02/image_03 fisheye (-360 branch)
+    # Supervision streams.
+    use_pspnet: bool = True        # noisy 2D pseudo-labels
+    use_depth: bool = True         # sparse SGM/lidar depth
+    # Ray batching.
+    n_rays: int = 2048             # rays per train batch (per step, global)
+    # Primitive padding (TPU fixed shapes). P primitives visible per frame,
+    # K nearest ray/primitive intersection intervals kept per ray.
+    max_primitives: int = 64
+    max_intervals: int = 16
+    # Held-out frames: every `test_every`-th frame goes to the test split.
+    test_every: int = 8
+    # Synthetic-scene knobs (the no-download fixture; SURVEY.md §4).
+    synthetic_num_boxes: int = 8
+    synthetic_image_hw: Tuple[int, int] = (64, 96)
+    synthetic_num_frames: int = 12
+
+
+@dataclass
+class ModelConfig:
+    """L2 field network (reference: [pn] lib/networks/panopticnerf/network.py)."""
+
+    xyz_freqs: int = 10            # frequency PE bands for positions
+    dir_freqs: int = 4             # frequency PE bands for view dirs
+    trunk_depth: int = 8
+    trunk_width: int = 256
+    skips: Tuple[int, ...] = (4,)
+    color_width: int = 128
+    num_classes: int = 45          # semantic logits size (KITTI-360 ids)
+    use_semantic: bool = True
+    use_viewdirs: bool = True
+    # TPU compute dtype for the MLP matmuls (params stay f32).
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class RenderConfig:
+    """L3 volume renderer (reference: [pn] lib/networks/renderer/panopticnerf.py)."""
+
+    n_samples: int = 64            # coarse samples per ray
+    n_importance: int = 0          # fine samples (hierarchical; 0 = off)
+    perturb: bool = True           # stratified jitter during training
+    near: float = 0.1
+    far: float = 100.0
+    white_bkgd: bool = False
+    # Primitive-guided sampling: sample inside ray/primitive intervals
+    # instead of [near, far] (the PanopticNeRF key idea).
+    use_primitives: bool = False
+    # Fraction of samples drawn from the full [near,far] range even when
+    # primitive-guided (covers geometry outside annotated primitives, e.g.
+    # sky); the -360 paper keeps some free-space samples.
+    bg_sample_frac: float = 0.25
+    # Full-image eval rendering: rays per on-device tile (lax.map over tiles
+    # inside one jit — replaces the reference's Python cfg.chunk loop).
+    ray_tile: int = 4096
+    raw_noise_std: float = 0.0
+
+
+@dataclass
+class LossConfig:
+    """L4 loss weights (reference: [pn] lib/train/trainers/panopticnerf.py)."""
+
+    rgb_weight: float = 1.0
+    sem2d_weight: float = 0.2      # CE(learned semantic render, filtered pseudo)
+    fix2d_weight: float = 0.2      # CE(fixed semantic render, pseudo) — shapes geometry
+    sem3d_weight: float = 0.1      # per-sample CE inside primitives
+    depth_weight: float = 0.1      # L1 vs sparse depth where valid
+    # Pseudo-label consistency filtering (reference CLI: pseudo_filter,
+    # weight_th): a pixel's pseudo-label supervises only if the ray's
+    # composited fixed-field mass on that class exceeds weight_th.
+    pseudo_filter: bool = True
+    weight_th: float = 0.05
+
+
+@dataclass
+class TrainConfig:
+    """L4 optimization loop (reference: lib/train/{optimizer,scheduler,trainer}.py)."""
+
+    lr: float = 5e-4
+    lr_decay_rate: float = 0.1     # exponential decay to lr*rate over max_steps
+    max_steps: int = 200_000
+    ep_iter: int = 500             # steps per "epoch" (recorder/save cadence)
+    epochs: int = 400
+    grad_clip: float = 0.0         # 0 = off
+    weight_decay: float = 0.0
+    save_ep: int = 20
+    eval_ep: int = 20
+    log_interval: int = 20
+    record_interval: int = 100
+    resume: bool = True
+    # Two-stage schedule (reference CLI `pretrain nerf`): stage "nerf"
+    # trains geometry+rgb(+depth) only; stage "joint" enables semantics.
+    pretrain: str = ""             # "" | "nerf"
+    pretrain_steps: int = 20_000   # steps of stage-1 when pretrain == "nerf"
+    seed: int = 0
+
+
+@dataclass
+class ParallelConfig:
+    """TPU mesh / sharding (replaces the reference's unused DDP path; §2.4)."""
+
+    # Number of devices on the data axis; 0 = all available.
+    data_parallel: int = 0
+    mesh_axis_name: str = "data"
+
+
+@dataclass
+class Config:
+    task: str = "panopticnerf"
+    exp_name: str = "default"
+    # Output roots (reference: trained_model/, record/, result/ keyed by
+    # task/exp_name — [pn] lib/config/config.py).
+    model_dir: str = "out/trained_model"
+    record_dir: str = "out/record"
+    result_dir: str = "out/result"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    # ---- derived paths ----
+    @property
+    def trained_model_dir(self) -> str:
+        return os.path.join(self.model_dir, self.task, self.exp_name)
+
+    @property
+    def record_path(self) -> str:
+        return os.path.join(self.record_dir, self.task, self.exp_name)
+
+    @property
+    def result_path(self) -> str:
+        return os.path.join(self.result_dir, self.task, self.exp_name)
+
+
+# Reference-style flat CLI keys -> dotted paths, so published commands like
+# `use_stereo True use_pspnet True pseudo_filter True weight_th 0.05
+#  pretrain nerf resume False` work unchanged (SURVEY.md §3.1).
+_ALIASES = {
+    "exp_name": "exp_name",
+    "task": "task",
+    "use_stereo": "data.use_stereo",
+    "use_fisheye": "data.use_fisheye",
+    "use_pspnet": "data.use_pspnet",
+    "use_depth": "data.use_depth",
+    "pseudo_filter": "loss.pseudo_filter",
+    "weight_th": "loss.weight_th",
+    "pretrain": "train.pretrain",
+    "resume": "train.resume",
+    "gpus": None,  # accepted and ignored: device selection is mesh-driven
+    "N_rays": "data.n_rays",
+    "N_samples": "render.n_samples",
+    "N_importance": "render.n_importance",
+    "chunk": "render.ray_tile",
+    "lr": "train.lr",
+    "ratio": "data.ratio",
+}
+
+
+def _coerce(value: Any, ty: Any) -> Any:
+    """Coerce a YAML/CLI value to the declared dataclass field type."""
+    if ty is bool or ty == "bool":
+        if isinstance(value, bool):
+            return value
+        s = str(value).strip().lower()
+        if s in ("true", "1", "yes", "on"):
+            return True
+        if s in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"cannot parse bool from {value!r}")
+    if ty is int:
+        return int(value)
+    if ty is float:
+        return float(value)
+    if ty is str:
+        return str(value)
+    # Tuple[...] fields: accept lists/tuples/comma strings.
+    origin = getattr(ty, "__origin__", None)
+    if origin in (tuple, list):
+        args = getattr(ty, "__args__", ())
+        elem = args[0] if args else str
+        if isinstance(value, str):
+            value = [v for v in value.replace(",", " ").split() if v]
+        out = tuple(_coerce(v, elem) for v in value)
+        return out if origin is tuple else list(out)
+    return value
+
+
+def _set_dotted(cfg: Any, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"unknown config section {p!r} in {dotted!r}")
+        obj = getattr(obj, p)
+    name = parts[-1]
+    if not any(f.name == name for f in fields(obj)):
+        raise KeyError(f"unknown config key {dotted!r}")
+    setattr(obj, name, _coerce(value, _resolve_type(obj, name)))
+
+
+def _resolve_type(obj: Any, name: str) -> Any:
+    import typing
+    hints = typing.get_type_hints(type(obj))
+    return hints[name]
+
+
+def _merge_dict(cfg: Any, d: dict, prefix: str = "") -> None:
+    for k, v in d.items():
+        dotted = f"{prefix}{k}" if prefix == "" else f"{prefix}.{k}"
+        if isinstance(v, dict) and hasattr(cfg, k) and is_dataclass(getattr(cfg, k)):
+            _merge_dict(getattr(cfg, k), v, dotted if prefix else k)
+        else:
+            # resolve against the current node, not the root
+            if not any(f.name == k for f in fields(cfg)):
+                raise KeyError(f"unknown config key {dotted!r}")
+            setattr(cfg, k, _coerce(v, _resolve_type(cfg, k)))
+
+
+def merge_from_file(cfg: Config, path: str) -> Config:
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    _merge_dict(cfg, d)
+    return cfg
+
+
+def merge_from_list(cfg: Config, opts: list) -> Config:
+    """`KEY VALUE KEY VALUE ...` overrides; KEY may be dotted or an alias."""
+    if len(opts) % 2 != 0:
+        raise ValueError(f"override list must be KEY VALUE pairs, got {opts!r}")
+    for key, value in zip(opts[0::2], opts[1::2]):
+        dotted = _ALIASES.get(key, key)
+        if dotted is None:
+            continue  # accepted-and-ignored legacy key (e.g. gpus)
+        _set_dotted(cfg, dotted, value)
+    return cfg
+
+
+def load_config(cfg_file: str | None = None, opts: list | None = None) -> Config:
+    cfg = Config()
+    if cfg_file:
+        merge_from_file(cfg, cfg_file)
+    if opts:
+        merge_from_list(cfg, opts)
+    return cfg
+
+
+def make_cfg(args: Any) -> Config:
+    """Reference-shaped entry: argparse namespace with .cfg_file and .opts."""
+    return load_config(getattr(args, "cfg_file", None), getattr(args, "opts", None))
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
