@@ -1,0 +1,201 @@
+"""Ray / 3D-bounding-primitive interval intersection — fixed shapes for TPU.
+
+This replaces the reference's ragged CPU-numpy intersection in the dataset
+worker ([pn] lib/datasets/kitti360/panopticnerf.py, unverified — SURVEY.md
+§3.1, flagged there as the CPU bottleneck). TPU redesign (SURVEY.md §7
+stage 3): primitives are a padded struct-of-arrays; intersection runs on
+device inside the jitted step as a dense (rays x primitives) slab test, then
+a top-K (nearest-entry) selection yields per-ray fixed-K intervals carrying
+(semantic, instance) ids. Misses are encoded as t_in = +BIG with mask 0 —
+all downstream ops are mask-aware, never shape-dependent.
+
+Primitive representation: every KITTI-360 bounding primitive (cuboids; and
+extruded polygons approximated by their oriented box for now) is an affine
+map `world_to_prim` (3, 4) taking world points into the primitive's local
+frame where the primitive is the unit cube [-1, 1]^3.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+BIG = 1e9
+
+
+class Primitives(NamedTuple):
+    """Padded per-frame primitive set (all arrays share leading dim P)."""
+
+    world_to_prim: jnp.ndarray  # (P, 3, 4) world -> unit-cube local frame
+    semantic: jnp.ndarray       # (P,) int32 class id (taxonomy per config)
+    instance: jnp.ndarray       # (P,) int32 instance id (0 = none/stuff)
+    valid: jnp.ndarray          # (P,) bool padding mask
+
+
+class RayIntervals(NamedTuple):
+    """Per-ray top-K entry-sorted intersection intervals."""
+
+    t_in: jnp.ndarray     # (N, K) entry distance (BIG where invalid)
+    t_out: jnp.ndarray    # (N, K) exit distance  (BIG where invalid)
+    semantic: jnp.ndarray  # (N, K) int32
+    instance: jnp.ndarray  # (N, K) int32
+    mask: jnp.ndarray     # (N, K) bool
+
+
+def _to_local(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply (..., 3, 4) affine to (..., 3) points."""
+    return jnp.einsum("...ij,...j->...i", A[..., :3, :3], x) + A[..., :3, 3]
+
+
+def make_box_primitives(
+    centers: jnp.ndarray,
+    sizes: jnp.ndarray,
+    rotations: jnp.ndarray,
+    semantics: jnp.ndarray,
+    instances: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> Primitives:
+    """Build the world->unit-cube affines for oriented boxes.
+
+    centers (P, 3), sizes (P, 3) full extents, rotations (P, 3, 3)
+    local->world. x_local = diag(2/size) @ R^T @ (x - center).
+    """
+    inv_half = 2.0 / jnp.maximum(sizes, 1e-9)                  # (P, 3)
+    Rt = jnp.swapaxes(rotations, -1, -2)                       # (P, 3, 3)
+    lin = inv_half[:, :, None] * Rt                            # (P, 3, 3)
+    trans = -jnp.einsum("pij,pj->pi", lin, centers)            # (P, 3)
+    A = jnp.concatenate([lin, trans[:, :, None]], axis=-1)     # (P, 3, 4)
+    if valid is None:
+        valid = jnp.ones(centers.shape[0], dtype=bool)
+    return Primitives(
+        world_to_prim=A,
+        semantic=semantics.astype(jnp.int32),
+        instance=instances.astype(jnp.int32),
+        valid=valid,
+    )
+
+
+def ray_box_intervals(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    prims: Primitives,
+    near: float,
+    far: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense slab test of N rays against P unit-cube primitives.
+
+    Returns (t_in, t_out, hit) each (N, P); t clipped to [near, far];
+    misses get t_in = t_out = BIG.
+    """
+    A = prims.world_to_prim                                   # (P, 3, 4)
+    R = A[:, :, :3]                                            # (P, 3, 3)
+    t = A[:, :, 3]                                             # (P, 3)
+    # Local-frame origins/dirs for every (ray, prim) pair.
+    o_l = jnp.einsum("pij,nj->npi", R, rays_o) + t[None]       # (N, P, 3)
+    d_l = jnp.einsum("pij,nj->npi", R, rays_d)                 # (N, P, 3)
+    # Slab test vs [-1, 1]^3 with divide-safe handling of axis-parallel rays.
+    safe_d = jnp.where(jnp.abs(d_l) < 1e-9, jnp.where(d_l >= 0, 1e-9, -1e-9), d_l)
+    inv_d = 1.0 / safe_d
+    t1 = (-1.0 - o_l) * inv_d
+    t2 = (1.0 - o_l) * inv_d
+    # Rays parallel to a slab and outside it never hit: force a miss there.
+    parallel_outside = (jnp.abs(d_l) < 1e-9) & (jnp.abs(o_l) > 1.0)
+    t_lo = jnp.where(parallel_outside, BIG, jnp.minimum(t1, t2))
+    t_hi = jnp.where(parallel_outside, -BIG, jnp.maximum(t1, t2))
+    t_in = jnp.max(t_lo, axis=-1)                              # (N, P)
+    t_out = jnp.min(t_hi, axis=-1)
+    t_in = jnp.maximum(t_in, near)
+    t_out = jnp.minimum(t_out, far)
+    hit = (t_out > t_in) & prims.valid[None, :]
+    t_in = jnp.where(hit, t_in, BIG)
+    t_out = jnp.where(hit, t_out, BIG)
+    return t_in, t_out, hit
+
+
+def top_k_intervals(
+    t_in: jnp.ndarray,
+    t_out: jnp.ndarray,
+    hit: jnp.ndarray,
+    prims: Primitives,
+    k: int,
+) -> RayIntervals:
+    """Keep the K nearest-entry intervals per ray (entry-sorted).
+
+    If the frame carries fewer primitives than K, results are padded with
+    invalid entries (static shapes either way).
+    """
+    p = t_in.shape[-1]
+    k_eff = min(k, p)
+    neg = -t_in                                                # top_k gives largest
+    _, idx = lax.top_k(neg, k_eff)                             # (N, k_eff) indices into P
+    if k_eff < k:
+        # Pad index list with 0s; the hit-mask gather below marks them invalid.
+        pad = jnp.zeros(idx.shape[:-1] + (k - k_eff,), idx.dtype)
+        idx = jnp.concatenate([idx, pad], axis=-1)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
+    sel_in = take(t_in)
+    sel_out = take(t_out)
+    sel_hit = take(hit)
+    if k_eff < k:
+        col = jnp.arange(k) < k_eff                            # (K,) static
+        sel_hit = sel_hit & col[None, :]
+    sem = prims.semantic[idx]
+    inst = prims.instance[idx]
+    return RayIntervals(
+        t_in=jnp.where(sel_hit, sel_in, BIG),
+        t_out=jnp.where(sel_hit, sel_out, BIG),
+        semantic=jnp.where(sel_hit, sem, -1),
+        instance=jnp.where(sel_hit, inst, -1),
+        mask=sel_hit,
+    )
+
+
+def intersect_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    prims: Primitives,
+    near: float,
+    far: float,
+    k: int,
+) -> RayIntervals:
+    """Full pipeline: dense slab test -> per-ray top-K entry-sorted intervals."""
+    t_in, t_out, hit = ray_box_intervals(rays_o, rays_d, prims, near, far)
+    return top_k_intervals(t_in, t_out, hit, prims, k)
+
+
+def samples_in_intervals(z: jnp.ndarray, iv: RayIntervals) -> jnp.ndarray:
+    """Per-sample containment vs each kept interval.
+
+    z: (N, S) sample distances. Returns bool (N, S, K): sample s of ray n lies
+    inside interval k. This recovers per-sample (semantic, instance)
+    provenance after the merged sort in the guided sampler, and feeds the
+    fixed semantic field + 3D loss.
+    """
+    z_ = z[..., None]                                          # (N, S, 1)
+    return (z_ >= iv.t_in[:, None, :]) & (z_ <= iv.t_out[:, None, :]) & iv.mask[:, None, :]
+
+
+def fixed_semantic_distribution(
+    z: jnp.ndarray, iv: RayIntervals, num_classes: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample fixed semantic field from primitive containment.
+
+    The PanopticNeRF 'fixed' field: a point inside one primitive gets that
+    primitive's one-hot label; inside several, the uniform mixture; inside
+    none, the zero distribution (no supervision mass).
+
+    Returns (dist (N, S, C) float32, inside_any (N, S) bool).
+    """
+    inside = samples_in_intervals(z, iv)                       # (N, S, K)
+    sem = jnp.clip(iv.semantic, 0, num_classes - 1)            # (N, K)
+    onehot = jnp.where(
+        iv.mask[..., None],
+        jnp.eye(num_classes, dtype=jnp.float32)[sem],
+        0.0,
+    )                                                          # (N, K, C)
+    counts = jnp.einsum("nsk,nkc->nsc", inside.astype(jnp.float32), onehot)
+    total = counts.sum(-1, keepdims=True)
+    dist = counts / jnp.maximum(total, 1.0)
+    return dist, total[..., 0] > 0

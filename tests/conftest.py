@@ -6,9 +6,24 @@ Must run before jax initializes its backends, hence env vars at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # Tests run tiny problems; keep compilation deterministic and quiet.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The container's sitecustomize registers an 'axon' PJRT plugin that claims
+# the real TPU tile through a relay on first backend init — a multi-minute
+# handshake tests must never pay. Deregister it before any test touches jax.
+try:
+    import jax
+    import jax._src.xla_bridge as _xb
+
+    # sitecustomize imported jax with JAX_PLATFORMS=axon already latched into
+    # jax.config; point it back at cpu and drop the axon factory.
+    jax.config.update("jax_platforms", "cpu")
+    for _reg in ("_backend_factories",):
+        getattr(_xb, _reg, {}).pop("axon", None)
+except Exception:
+    pass
