@@ -1,0 +1,124 @@
+"""Device-resident dataset container + on-device ray batch sampling.
+
+The reference streams batches from torch DataLoader worker processes that do
+per-ray numpy work ([pn] lib/datasets/..., SURVEY.md §3.1 marks this as the
+CPU bottleneck + a per-step H2D copy). TPU redesign: the whole (sub)sequence
+— images, poses, pseudo-labels, depth, padded per-view primitive sets — is
+uploaded to HBM once; every train step draws (view, pixel) indices from the
+PRNG and gathers its batch *inside the jitted step*. Zero per-step host work,
+zero H2D traffic.
+
+Memory check (flagship config): 64 stereo frames at 376x1408 = 128 views;
+rgb f32 ~ 814 MB (or uint8 203 MB), pseudo+depth ~ 540 MB — fits a 16 GB v5e
+chip beside the ~1M-param model. Larger runs shard views across the data
+axis or keep images in uint8 (we store uint8 and normalize on gather).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panopticnerf_tpu.ops.intersect import Primitives, intersect_rays_per_ray
+from panopticnerf_tpu.ops.rays import gen_rays_perspective
+
+
+class DeviceDataset(NamedTuple):
+    """All-views tensor pack. V = number of views (frames x cameras)."""
+
+    images: jnp.ndarray        # (V, H, W, 3) uint8
+    K: jnp.ndarray             # (V, 3, 3) float32 intrinsics per view
+    c2w: jnp.ndarray           # (V, 3, 4) float32 camera-to-world
+    pseudo: jnp.ndarray        # (V, H, W) int32 semantic pseudo-labels (255 = ignore)
+    depth: jnp.ndarray         # (V, H, W) float32 sparse depth (<=0 invalid)
+    prim_w2p: jnp.ndarray      # (V, P, 3, 4) per-view visible primitives
+    prim_sem: jnp.ndarray      # (V, P) int32
+    prim_inst: jnp.ndarray     # (V, P) int32
+    prim_valid: jnp.ndarray    # (V, P) bool
+    bounds_center: jnp.ndarray  # (3,)
+    bounds_scale: jnp.ndarray   # ()
+    gt_sem: Optional[jnp.ndarray] = None   # (V, H, W) int32 eval GT (255 ignore)
+    gt_inst: Optional[jnp.ndarray] = None  # (V, H, W) int32 eval GT instances
+
+
+class RayBatch(NamedTuple):
+    rays_o: jnp.ndarray    # (N, 3)
+    rays_d: jnp.ndarray    # (N, 3)
+    rgb: jnp.ndarray       # (N, 3) float32 in [0, 1]
+    pseudo: jnp.ndarray    # (N,) int32
+    depth: jnp.ndarray     # (N,) float32
+    view: jnp.ndarray      # (N,) int32 source view index
+
+
+def sample_ray_batch(
+    key: jax.Array,
+    ds: DeviceDataset,
+    view_ids: jnp.ndarray,
+    n_rays: int,
+) -> RayBatch:
+    """Draw a random ray batch fully on device.
+
+    view_ids: (T,) int32 pool of views to sample from (the train split).
+    """
+    h, w = ds.images.shape[1:3]
+    k1, k2, k3 = jax.random.split(key, 3)
+    vi = view_ids[jax.random.randint(k1, (n_rays,), 0, view_ids.shape[0])]
+    u = jax.random.randint(k2, (n_rays,), 0, w)
+    v = jax.random.randint(k3, (n_rays,), 0, h)
+
+    rgb = ds.images[vi, v, u].astype(jnp.float32) / 255.0
+    pseudo = ds.pseudo[vi, v, u]
+    depth = ds.depth[vi, v, u]
+
+    uv = jnp.stack([u, v], axis=-1).astype(jnp.float32) + 0.5
+    # per-ray intrinsics/poses (views may differ)
+    K = ds.K[vi]                                               # (N, 3, 3)
+    c2w = ds.c2w[vi]                                           # (N, 3, 4)
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    x = (uv[:, 0] - cx) / fx
+    y = (uv[:, 1] - cy) / fy
+    dirs_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    d = jnp.einsum("nij,nj->ni", c2w[:, :, :3], dirs_cam)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = c2w[:, :, 3]
+    return RayBatch(rays_o=o, rays_d=d, rgb=rgb, pseudo=pseudo, depth=depth, view=vi)
+
+
+def batch_intervals(ds: DeviceDataset, batch: RayBatch, near: float, far: float, k: int):
+    """Intersect a ray batch against each ray's source-view primitive set."""
+    prims = Primitives(
+        world_to_prim=ds.prim_w2p[batch.view],
+        semantic=ds.prim_sem[batch.view],
+        instance=ds.prim_inst[batch.view],
+        valid=ds.prim_valid[batch.view],
+    )
+    return intersect_rays_per_ray(batch.rays_o, batch.rays_d, prims, near, far, k)
+
+
+def view_rays(ds: DeviceDataset, view: int):
+    """All rays of one view (host-precomputed indices OK at eval time)."""
+    h, w = ds.images.shape[1:3]
+    vv, uu = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(jnp.float32) + 0.5
+    return gen_rays_perspective(uv, ds.K[view], ds.c2w[view])
+
+
+def view_primitives(ds: DeviceDataset, view: int) -> Primitives:
+    return Primitives(
+        world_to_prim=ds.prim_w2p[view],
+        semantic=ds.prim_sem[view],
+        instance=ds.prim_inst[view],
+        valid=ds.prim_valid[view],
+    )
+
+
+def train_test_split(num_views: int, test_every: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-style held-out split: every `test_every`-th view is test."""
+    ids = np.arange(num_views)
+    test = ids[ids % test_every == test_every // 2] if test_every > 0 else ids[:0]
+    train = np.setdiff1d(ids, test)
+    return train, test

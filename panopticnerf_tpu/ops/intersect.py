@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -163,6 +164,51 @@ def intersect_rays(
     """Full pipeline: dense slab test -> per-ray top-K entry-sorted intervals."""
     t_in, t_out, hit = ray_box_intervals(rays_o, rays_d, prims, near, far)
     return top_k_intervals(t_in, t_out, hit, prims, k)
+
+
+def intersect_rays_per_ray(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    prims: Primitives,
+    near: float,
+    far: float,
+    k: int,
+) -> RayIntervals:
+    """Like `intersect_rays`, but with per-ray primitive sets.
+
+    prims arrays carry a leading ray dim: world_to_prim (N, P, 3, 4),
+    semantic/instance/valid (N, P). Used by the train step where each ray's
+    batch row was gathered from its source frame's visible-primitive set.
+    vmap over the shared-prims kernel keeps one code path.
+    """
+    one = lambda o, d, A, s, i, v: ray_box_intervals(
+        o[None], d[None], Primitives(A, s, i, v), near, far
+    )
+    t_in, t_out, hit = jax.vmap(one)(
+        rays_o, rays_d, prims.world_to_prim, prims.semantic, prims.instance, prims.valid
+    )  # each (N, 1, P)
+    t_in, t_out, hit = t_in[:, 0], t_out[:, 0], hit[:, 0]
+    # Inline top-k with per-ray label tables.
+    p = t_in.shape[-1]
+    k_eff = min(k, p)
+    _, idx = lax.top_k(-t_in, k_eff)
+    if k_eff < k:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-1] + (k - k_eff,), idx.dtype)], axis=-1
+        )
+    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
+    sel_in, sel_out, sel_hit = take(t_in), take(t_out), take(hit)
+    if k_eff < k:
+        sel_hit = sel_hit & (jnp.arange(k) < k_eff)[None, :]
+    sem = take(prims.semantic)
+    inst = take(prims.instance)
+    return RayIntervals(
+        t_in=jnp.where(sel_hit, sel_in, BIG),
+        t_out=jnp.where(sel_hit, sel_out, BIG),
+        semantic=jnp.where(sel_hit, sem, -1),
+        instance=jnp.where(sel_hit, inst, -1),
+        mask=sel_hit,
+    )
 
 
 def samples_in_intervals(z: jnp.ndarray, iv: RayIntervals) -> jnp.ndarray:

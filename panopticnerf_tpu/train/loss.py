@@ -1,0 +1,132 @@
+"""PanopticNeRF loss stack.
+
+Reference: `NetworkWrapper` in [pn] lib/train/trainers/panopticnerf.py
+(unverified — SURVEY.md §2.2/§3.1): L_rgb (MSE) + 2D CE of the *learned*
+semantic rendering vs filtered pseudo-labels + 2D CE of the *fixed* semantic
+rendering vs pseudo-labels (shapes geometry) + per-sample 3D semantic loss
+inside primitives + sparse-depth L1, weighted per cfg.
+
+Pseudo-label consistency filter (reference CLI `pseudo_filter`/`weight_th`):
+a pixel's pseudo-label supervises the learned field only when the ray's
+composited fixed-field mass on that class exceeds `weight_th` — i.e. the 2D
+network opinion is consistent with the 3D primitive annotation along the ray.
+Sky/stuff pixels with no primitives are exempt from the filter (no 3D
+evidence either way), matching the papers' described behavior.
+
+All losses are masked means over static-shape tensors; the two-stage
+`pretrain nerf` schedule enters as a traced 0/1 `sem_scale` so the same jit
+serves both stages.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.dataset import RayBatch
+from panopticnerf_tpu.render.renderer import RenderOut
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _log_softmax(logits: jnp.ndarray) -> jnp.ndarray:
+    m = logits.max(-1, keepdims=True)
+    return logits - m - jnp.log(jnp.sum(jnp.exp(logits - m), -1, keepdims=True))
+
+
+def cross_entropy_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-element CE of integer labels vs logits (last axis = classes)."""
+    logp = _log_softmax(logits)
+    lab = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    return -jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+
+
+def cross_entropy_probs(probs: jnp.ndarray, labels: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """CE where predictions are (possibly unnormalized) probabilities."""
+    total = jnp.sum(probs, axis=-1, keepdims=True)
+    p = probs / jnp.maximum(total, eps)
+    lab = jnp.clip(labels, 0, probs.shape[-1] - 1)
+    sel = jnp.take_along_axis(p, lab[..., None], axis=-1)[..., 0]
+    return -jnp.log(jnp.maximum(sel, eps))
+
+
+def compute_losses(
+    out: RenderOut,
+    batch: RayBatch,
+    cfg: Config,
+    sem_scale: jnp.ndarray | float = 1.0,
+):
+    """Returns (total_loss, stats dict of scalars)."""
+    lc = cfg.loss
+    num_classes = cfg.model.num_classes
+    stats = {}
+
+    # --- RGB (fine + coarse, as in hierarchical NeRF) ---
+    l_rgb = jnp.mean((out.rgb - batch.rgb) ** 2)
+    if out.coarse is not None:
+        l_rgb = l_rgb + jnp.mean((out.coarse.rgb - batch.rgb) ** 2)
+    stats["loss_rgb"] = l_rgb
+    mse_fine = jnp.mean((out.rgb - batch.rgb) ** 2)
+    stats["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse_fine, 1e-10))
+    total = lc.rgb_weight * l_rgb
+
+    # --- sparse depth L1 ---
+    if lc.depth_weight > 0:
+        valid = batch.depth > 0
+        l_depth = _masked_mean(jnp.abs(out.depth - batch.depth), valid)
+        if out.coarse is not None:
+            l_depth = l_depth + _masked_mean(jnp.abs(out.coarse.depth - batch.depth), valid)
+        stats["loss_depth"] = l_depth
+        total = total + lc.depth_weight * l_depth
+
+    # --- semantics ---
+    has_pseudo = batch.pseudo != 255
+    if out.sem_fixed is not None:
+        fixed_map = out.sem_fixed                                  # (N, C)
+        lab = jnp.clip(batch.pseudo, 0, num_classes - 1)
+        class_mass = jnp.take_along_axis(fixed_map, lab[:, None], axis=-1)[:, 0]
+        ray_has_prims = jnp.sum(fixed_map, axis=-1) > 1e-6
+        if lc.pseudo_filter:
+            consistent = class_mass > lc.weight_th
+            # no-primitive rays (sky etc.) keep their pseudo supervision
+            keep = has_pseudo & (consistent | ~ray_has_prims)
+        else:
+            keep = has_pseudo
+        stats["filter_keep_frac"] = jnp.mean(keep.astype(jnp.float32))
+
+        # fixed-field 2D CE — only where the ray actually crosses primitives
+        # (this is the geometry-shaping loss: gradients flow into density).
+        if lc.fix2d_weight > 0:
+            ce_fix = cross_entropy_probs(fixed_map, batch.pseudo)
+            l_fix = _masked_mean(ce_fix, has_pseudo & ray_has_prims & keep)
+            stats["loss_sem_fix2d"] = l_fix
+            total = total + sem_scale * lc.fix2d_weight * l_fix
+    else:
+        keep = has_pseudo
+
+    if out.sem_logits is not None and lc.sem2d_weight > 0:
+        ce2d = cross_entropy_logits(out.sem_logits, batch.pseudo)
+        l_sem2d = _masked_mean(ce2d, keep)
+        stats["loss_sem2d"] = l_sem2d
+        total = total + sem_scale * lc.sem2d_weight * l_sem2d
+
+    # --- 3D per-sample loss: learned logits vs fixed distribution inside prims ---
+    if (
+        out.sample_sem_logits is not None
+        and out.sample_fixed is not None
+        and lc.sem3d_weight > 0
+    ):
+        logits = out.sample_sem_logits                              # (N, S, C)
+        target = out.sample_fixed                                   # (N, S, C)
+        ce3d = -jnp.sum(target * _log_softmax(logits), axis=-1)     # (N, S)
+        l_sem3d = _masked_mean(ce3d, out.sample_inside)
+        stats["loss_sem3d"] = l_sem3d
+        total = total + sem_scale * lc.sem3d_weight * l_sem3d
+
+    stats["loss_total"] = total
+    return total, stats

@@ -1,0 +1,93 @@
+"""Jitted train step + optimizer/schedule factories.
+
+Reference split ([pn] lib/train/{optimizer,scheduler,trainer}.py, unverified):
+Adam (~5e-4) with exponential decay, epoch loop of `ep_iter` steps, per-step
+host->device copy and Python-driven render chunks. Here the entire step —
+on-device batch sampling, ray gen, primitive intersection, guided sampling,
+MLP, compositing, losses, backward, optimizer update — is ONE jit; the host
+loop only feeds step counts and reads back scalar metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.dataset import DeviceDataset, batch_intervals, sample_ray_batch
+from panopticnerf_tpu.render.renderer import SceneBounds, render_rays
+from panopticnerf_tpu.train.loss import compute_losses
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState (params/opt/step); apply_fn = model.apply."""
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    """Exponential decay to lr * lr_decay_rate over max_steps (reference-style)."""
+    tc = cfg.train
+    return optax.exponential_decay(
+        init_value=tc.lr,
+        transition_steps=max(tc.max_steps, 1),
+        decay_rate=tc.lr_decay_rate if tc.lr_decay_rate > 0 else 1.0,
+    )
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    tc = cfg.train
+    chain = []
+    if tc.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(tc.grad_clip))
+    if tc.weight_decay > 0:
+        chain.append(optax.adamw(make_lr_schedule(cfg), weight_decay=tc.weight_decay))
+    else:
+        chain.append(optax.adam(make_lr_schedule(cfg)))
+    return optax.chain(*chain)
+
+
+def make_train_state(cfg: Config, model, params) -> TrainState:
+    return TrainState.create(apply_fn=model.apply, params=params, tx=make_optimizer(cfg))
+
+
+def make_train_step(cfg: Config, model, donate: bool = True):
+    """Build the jitted step: (state, ds, view_ids, key) -> (state, stats).
+
+    `ds` (the DeviceDataset) and `view_ids` are traced args so one compile
+    serves any scene of the same shape; cfg/model are Python statics.
+    """
+    use_prims = cfg.render.use_primitives
+    sem_gate = cfg.train.pretrain == "nerf"
+    pretrain_steps = cfg.train.pretrain_steps
+    bounds_of = lambda ds: SceneBounds(ds.bounds_center, ds.bounds_scale)
+
+    def step_fn(state: TrainState, ds: DeviceDataset, view_ids, key):
+        k_batch, k_render = jax.random.split(key)
+        batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays)
+        iv = (
+            batch_intervals(ds, batch, cfg.render.near, cfg.render.far, cfg.data.max_intervals)
+            if use_prims
+            else None
+        )
+        # Two-stage schedule: semantics off during the geometry pretrain.
+        sem_scale = (
+            jnp.where(state.step < pretrain_steps, 0.0, 1.0) if sem_gate else 1.0
+        )
+
+        def loss_fn(params):
+            out = render_rays(
+                model, params, batch.rays_o, batch.rays_d, bounds_of(ds),
+                k_render, cfg, iv=iv, train=True,
+            )
+            return compute_losses(out, batch, cfg, sem_scale=sem_scale)
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        stats["grad_norm"] = optax.global_norm(grads)
+        return new_state, stats
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,124 @@
+"""End-to-end training slice on the synthetic fixture (SURVEY.md §4:
+BASELINE config-1-style CPU-runnable integration test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.dataset import (
+    batch_intervals,
+    sample_ray_batch,
+    train_test_split,
+    view_primitives,
+    view_rays,
+)
+from panopticnerf_tpu.data.synthetic import build_synthetic_dataset
+from panopticnerf_tpu.models import init_params, make_network
+from panopticnerf_tpu.train import make_train_state, make_train_step
+
+
+def tiny_cfg():
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_image_hw = (32, 48)
+    cfg.data.synthetic_num_frames = 6
+    cfg.data.synthetic_num_boxes = 5
+    cfg.data.n_rays = 256
+    cfg.data.max_primitives = 8
+    cfg.data.max_intervals = 4
+    cfg.model.trunk_depth = 3
+    cfg.model.trunk_width = 64
+    cfg.model.color_width = 32
+    cfg.model.num_classes = 6
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 24
+    cfg.render.n_importance = 0
+    cfg.render.near = 0.5
+    cfg.render.far = 40.0
+    cfg.render.use_primitives = True
+    cfg.train.lr = 5e-3
+    cfg.train.max_steps = 300
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    state = make_train_state(cfg, model, params)
+    return cfg, ds, model, state
+
+
+def test_dataset_shapes(setup):
+    cfg, ds, _, _ = setup
+    assert ds.images.shape == (6, 32, 48, 3)
+    assert ds.images.dtype == jnp.uint8
+    assert ds.prim_w2p.shape == (6, 8, 3, 4)
+    assert int(ds.prim_valid.sum()) == 6 * 5
+    # depth is sparse: 25% of box-hit pixels only
+    frac = float((ds.depth > 0).mean())
+    assert 0.01 < frac < 0.2
+    # pseudo mostly agrees with gt (7% flip noise)
+    agree = float((ds.pseudo == ds.gt_sem).mean())
+    assert 0.88 < agree < 0.98
+
+
+def test_sample_ray_batch(setup):
+    cfg, ds, _, _ = setup
+    view_ids = jnp.arange(6)
+    batch = sample_ray_batch(jax.random.key(1), ds, view_ids, 128)
+    assert batch.rays_o.shape == (128, 3)
+    assert float(jnp.abs(jnp.linalg.norm(batch.rays_d, axis=-1) - 1).max()) < 1e-5
+    assert batch.rgb.min() >= 0 and batch.rgb.max() <= 1
+    # ray through pixel must reproduce that pixel's depth when cast at gt
+    iv = batch_intervals(ds, batch, 0.5, 40.0, 4)
+    has_depth = np.asarray(batch.depth) > 0
+    t_in = np.asarray(iv.t_in)
+    # for depth-valid box pixels the first interval entry ~= gt depth
+    sel = has_depth & np.asarray(iv.mask[:, 0])
+    if sel.any():
+        err = np.abs(t_in[sel, 0] - np.asarray(batch.depth)[sel])
+        assert np.median(err) < 0.1
+
+
+def test_train_step_runs_and_descends(setup):
+    cfg, ds, model, state = setup
+    step = make_train_step(cfg, model, donate=False)
+    view_ids = jnp.arange(6)
+    key = jax.random.key(2)
+    _, stats0 = step(state, ds, view_ids, key)
+    s = state
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        s, stats = step(s, ds, view_ids, sub)
+        losses.append(float(stats["loss_total"]))
+    assert np.isfinite(losses).all()
+    # loss must clearly descend on an overfit-able tiny scene
+    assert np.mean(losses[-10:]) < 0.7 * np.mean(losses[:10])
+    assert float(stats["psnr"]) > float(stats0["psnr"])
+
+
+def test_psnr_rises_above_floor(setup):
+    """Overfit harder and require a PSNR floor — the config-1 fixture gate."""
+    cfg, ds, model, state = setup
+    step = make_train_step(cfg, model, donate=False)
+    view_ids = jnp.arange(6)
+    key = jax.random.key(3)
+    s = state
+    for i in range(300):
+        key, sub = jax.random.split(key)
+        s, stats = step(s, ds, view_ids, sub)
+    assert float(stats["psnr"]) > 18.0, f"psnr={float(stats['psnr'])}"
+    # semantics should be learning too
+    assert float(stats["loss_sem2d"]) < 1.0
+
+
+def test_train_test_split():
+    train, test = train_test_split(16, 8)
+    assert set(test) == {4, 12}
+    assert len(train) == 14 and not (set(train) & set(test))
