@@ -1,0 +1,166 @@
+"""Top-level engine: train / evaluate / visualize / throughput entry points.
+
+Reference: `train_net.py` + `run.py --type {evaluate,visualize,network}`
+([pn], unverified — SURVEY.md §3). The CLI surface is preserved; internally
+everything routes through the jitted step/renderer.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data import make_dataset, view_primitives, view_rays
+from panopticnerf_tpu.eval import make_evaluator
+from panopticnerf_tpu.models import init_params, make_network
+from panopticnerf_tpu.ops import intersect_rays
+from panopticnerf_tpu.render import SceneBounds, render_image_rays
+from panopticnerf_tpu.train import make_train_state, make_train_step
+from panopticnerf_tpu.train.checkpoint import load_model, load_network, save_model
+from panopticnerf_tpu.train.recorder import Recorder
+
+
+def _build(cfg: Config):
+    ds, train_ids, test_ids = make_dataset(cfg)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(cfg.train.seed))
+    state = make_train_state(cfg, model, params)
+    return ds, train_ids, test_ids, model, state
+
+
+def _render_view(cfg: Config, model, params, ds, view: int):
+    o, d = view_rays(ds, view)
+    iv = None
+    if cfg.render.use_primitives:
+        prims = view_primitives(ds, view)
+        iv = intersect_rays(o, d, prims, cfg.render.near, cfg.render.far,
+                            cfg.data.max_intervals)
+    bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+    return render_image_rays(model, params, o, d, bounds, cfg, iv=iv)
+
+
+def evaluate_views(cfg: Config, model, params, ds, view_ids) -> dict:
+    ev = make_evaluator(cfg)
+    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v))
+    for view in view_ids:
+        out = render(params, int(view))
+        gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
+        gt_sem = np.asarray(ds.gt_sem[view]).reshape(-1) if ds.gt_sem is not None else None
+        gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1) if ds.gt_inst is not None else None
+        ev.evaluate(out, gt_rgb, gt_sem, gt_inst)
+    return ev.summarize()
+
+
+def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
+    """Reference train_net.py equivalent: epoch loop with save/eval cadence."""
+    ds, train_ids, test_ids, model, state = _build(cfg)
+    step_fn = make_train_step(cfg, model)
+    recorder = Recorder(cfg.record_path)
+    ckpt_dir = cfg.trained_model_dir
+
+    start_step = 0
+    if cfg.train.resume:
+        state, restored = load_model(state, ckpt_dir)
+        if restored is not None:
+            start_step = restored
+            log(f"resumed from step {start_step}")
+
+    tc = cfg.train
+    total_steps = max_steps if max_steps is not None else tc.epochs * tc.ep_iter
+    view_ids = jnp.asarray(train_ids)
+    key = jax.random.key(tc.seed + 1)
+    t0 = time.time()
+    rays_done = 0
+    last_metrics = {}
+    for step in range(start_step, total_steps):
+        key, sub = jax.random.split(key)
+        state, stats = step_fn(state, ds, view_ids, sub)
+        rays_done += cfg.data.n_rays
+        if (step + 1) % tc.log_interval == 0:
+            scal = {k: float(v) for k, v in stats.items()}
+            dt = time.time() - t0
+            scal["rays_per_sec"] = rays_done / max(dt, 1e-9)
+            recorder.update(scal, step=step + 1)
+            t0 = time.time()
+            rays_done = 0
+            last_metrics = scal
+        if (step + 1) % tc.record_interval == 0:
+            recorder.record("train")
+            epoch = (step + 1) // tc.ep_iter
+            log(recorder.log_line(epoch, tc.epochs, float(make_lr(cfg)(step))))
+        if (step + 1) % (tc.save_ep * tc.ep_iter) == 0 or step + 1 == total_steps:
+            save_model(state, ckpt_dir, step + 1)
+        if (step + 1) % (tc.eval_ep * tc.ep_iter) == 0:
+            res = evaluate_views(cfg, model, state.params, ds, test_ids[:2])
+            log(f"eval@{step + 1}: " + ", ".join(
+                f"{k}={v:.3f}" for k, v in res.items() if np.isscalar(v)))
+    save_model(state, ckpt_dir, total_steps)
+    recorder.close()
+    return {"state": state, "model": model, "ds": ds, "test_ids": test_ids,
+            "metrics": last_metrics}
+
+
+def make_lr(cfg: Config):
+    from panopticnerf_tpu.train import make_lr_schedule
+
+    return make_lr_schedule(cfg)
+
+
+def _restore_for_eval(cfg: Config):
+    ds, train_ids, test_ids, model, state = _build(cfg)
+    params, step = load_network(state.params, cfg.trained_model_dir)
+    return ds, test_ids, model, params, step
+
+
+def run_evaluate(cfg: Config, log=print) -> dict:
+    ds, test_ids, model, params, step = _restore_for_eval(cfg)
+    res = evaluate_views(cfg, model, params, ds, test_ids)
+    log(f"evaluate (ckpt step {step}):")
+    for k, v in res.items():
+        if np.isscalar(v):
+            log(f"  {k}: {v:.4f}")
+    return res
+
+
+def run_visualize(cfg: Config, log=print) -> list:
+    from panopticnerf_tpu.viz import Visualizer
+
+    ds, test_ids, model, params, step = _restore_for_eval(cfg)
+    viz = Visualizer(cfg)
+    ev = make_evaluator(cfg)
+    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v))
+    written = []
+    h, w = ds.images.shape[1:3]
+    for view in test_ids:
+        out = render(params, int(view))
+        sem, inst = ev.evaluate(out)
+        written += viz.write_view(int(view), out, (h, w), sem=sem, inst=inst)
+    log(f"wrote {len(written)} files under {cfg.result_path}")
+    return written
+
+
+def run_network(cfg: Config, iters: int = 50, log=print) -> dict:
+    """Throughput probe (reference run.py --type network, SURVEY.md §3.5)."""
+    ds, train_ids, test_ids, model, state = _build(cfg)
+    step_fn = make_train_step(cfg, model, donate=False)
+    view_ids = jnp.asarray(train_ids)
+    key = jax.random.key(0)
+    # warmup/compile
+    state2, stats = step_fn(state, ds, view_ids, key)
+    jax.block_until_ready(stats["loss_total"])
+    t0 = time.time()
+    s = state
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        s, stats = step_fn(s, ds, view_ids, sub)
+    jax.block_until_ready(stats["loss_total"])
+    dt = time.time() - t0
+    rays_per_sec = cfg.data.n_rays * iters / dt
+    log(f"train-step throughput: {iters} iters in {dt:.2f}s -> "
+        f"{rays_per_sec:,.0f} rays/s ({iters / dt:.1f} it/s)")
+    return {"rays_per_sec": rays_per_sec, "iters_per_sec": iters / dt}

@@ -1,0 +1,36 @@
+from panopticnerf_tpu.eval.evaluator import Evaluator
+from panopticnerf_tpu.eval.metrics import (
+    confusion_matrix,
+    iou_from_confusion,
+    panoptic_quality,
+    pq_from_stats,
+    psnr,
+)
+from panopticnerf_tpu.eval.panoptic import fuse_panoptic
+
+
+def make_evaluator(cfg, things=None):
+    """Factory mirroring the reference's make_evaluator."""
+    import numpy as np
+
+    if things is None:
+        from panopticnerf_tpu.data import labels as L
+
+        if cfg.model.num_classes == L.NUM_TRAIN_IDS:
+            things = L.TRAINID_HAS_INSTANCES
+        else:
+            things = np.ones(cfg.model.num_classes, bool)
+            things[0] = False  # synthetic convention: class 0 = sky/stuff
+    return Evaluator(cfg.model.num_classes, things)
+
+
+__all__ = [
+    "Evaluator",
+    "confusion_matrix",
+    "fuse_panoptic",
+    "iou_from_confusion",
+    "make_evaluator",
+    "panoptic_quality",
+    "pq_from_stats",
+    "psnr",
+]

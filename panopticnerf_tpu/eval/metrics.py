@@ -1,0 +1,151 @@
+"""Evaluation metrics: PSNR, confusion-matrix mIoU, panoptic quality (PQ).
+
+Reference: `Evaluator` in [pn] lib/evaluators/panopticnerf.py (unverified —
+SURVEY.md §2.2): PSNR on rendered RGB, mIoU from an accumulated confusion
+matrix vs manually-annotated KITTI-360 frames, PQ via IoU>0.5 segment
+matching (PQ = SQ * RQ).
+
+The confusion matrix is computed on device (one bincount over H*W pixels);
+segment matching for PQ runs on host numpy — it's per-eval-frame, tiny, and
+irregular (variable segment counts), exactly what should NOT be forced into
+fixed shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(pred: np.ndarray, gt: np.ndarray, mask: Optional[np.ndarray] = None) -> float:
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        if m.sum() == 0:
+            return float("nan")
+        mse = float(np.mean(((pred - gt) ** 2)[m]))
+    else:
+        mse = float(np.mean((pred - gt) ** 2))
+    return float(-10.0 * np.log10(max(mse, 1e-12)))
+
+
+def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray, num_classes: int, ignore: int = 255):
+    """Dense (C, C) confusion matrix [gt, pred]; ignore-labeled pixels dropped."""
+    pred = jnp.asarray(pred).reshape(-1)
+    gt = jnp.asarray(gt).reshape(-1)
+    valid = (gt != ignore) & (gt >= 0) & (gt < num_classes)
+    idx = jnp.where(valid, gt * num_classes + jnp.clip(pred, 0, num_classes - 1), num_classes * num_classes)
+    counts = jnp.bincount(idx, length=num_classes * num_classes + 1)[:-1]
+    return counts.reshape(num_classes, num_classes)
+
+
+def iou_from_confusion(cm: np.ndarray):
+    """Per-class IoU + mIoU over classes present in GT or prediction."""
+    cm = np.asarray(cm, np.float64)
+    tp = np.diag(cm)
+    fp = cm.sum(0) - tp
+    fn = cm.sum(1) - tp
+    denom = tp + fp + fn
+    iou = np.where(denom > 0, tp / np.maximum(denom, 1), np.nan)
+    miou = float(np.nanmean(iou)) if np.isfinite(iou).any() else float("nan")
+    return iou, miou
+
+
+def panoptic_quality(
+    pred_sem: np.ndarray,
+    pred_inst: np.ndarray,
+    gt_sem: np.ndarray,
+    gt_inst: np.ndarray,
+    things: np.ndarray,
+    num_classes: int,
+    ignore: int = 255,
+):
+    """Per-image PQ statistics (accumulate across frames, then summarize).
+
+    Segments: for 'thing' classes every (class, instance) pair is a segment;
+    for 'stuff' classes the whole class mask is one segment (instance 0) —
+    the standard COCO-panoptic convention the reference follows.
+
+    Returns dict of per-class arrays: iou_sum, tp, fp, fn (each (C,)).
+    """
+    pred_sem = np.asarray(pred_sem).reshape(-1)
+    pred_inst = np.asarray(pred_inst).reshape(-1)
+    gt_sem = np.asarray(gt_sem).reshape(-1)
+    gt_inst = np.asarray(gt_inst).reshape(-1)
+    things = np.asarray(things, bool)
+
+    valid = (gt_sem != ignore) & (gt_sem >= 0) & (gt_sem < num_classes)
+
+    # Build combined (class, instance) segment ids over valid pixels only;
+    # stuff segments collapse to instance 0.
+    v = valid
+    gs, gi = gt_sem[v], gt_inst[v]
+    ps, pi = pred_sem[v], pred_inst[v]
+    gi = np.where(things[np.clip(gs, 0, num_classes - 1)], gi, 0)
+    pi = np.where((ps >= 0) & (ps < num_classes) & things[np.clip(ps, 0, num_classes - 1)], pi, 0)
+
+    def unique_segs(sem, inst):
+        key = sem.astype(np.int64) * 1_000_000 + inst.astype(np.int64)
+        uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        return uniq, inv, cnt
+
+    g_uniq, g_inv, g_cnt = unique_segs(gs, gi)
+    p_uniq, p_inv, p_cnt = unique_segs(ps, pi)
+
+    # Intersection counts between every (gt segment, pred segment) pair present.
+    pair_key = g_inv.astype(np.int64) * len(p_uniq) + p_inv
+    pair_uniq, pair_cnt = np.unique(pair_key, return_counts=True)
+    gt_idx = pair_uniq // len(p_uniq)
+    pr_idx = pair_uniq % len(p_uniq)
+
+    iou_sum = np.zeros(num_classes)
+    tp = np.zeros(num_classes, np.int64)
+    fp = np.zeros(num_classes, np.int64)
+    fn = np.zeros(num_classes, np.int64)
+
+    g_matched = np.zeros(len(g_uniq), bool)
+    p_matched = np.zeros(len(p_uniq), bool)
+
+    g_class = (g_uniq // 1_000_000).astype(np.int64)
+    p_class = (p_uniq // 1_000_000).astype(np.int64)
+
+    for k in range(len(pair_uniq)):
+        gidx, pidx = gt_idx[k], pr_idx[k]
+        if g_class[gidx] != p_class[pidx]:
+            continue
+        inter = pair_cnt[k]
+        union = g_cnt[gidx] + p_cnt[pidx] - inter
+        iou = inter / union
+        if iou > 0.5:
+            c = g_class[gidx]
+            tp[c] += 1
+            iou_sum[c] += iou
+            g_matched[gidx] = True
+            p_matched[pidx] = True
+
+    for i in range(len(g_uniq)):
+        if not g_matched[i]:
+            fn[g_class[i]] += 1
+    for i in range(len(p_uniq)):
+        if not p_matched[i]:
+            fp[p_class[i]] += 1
+
+    return {"iou_sum": iou_sum, "tp": tp, "fp": fp, "fn": fn}
+
+
+def pq_from_stats(stats: dict):
+    """Summarize accumulated PQ stats -> (per-class PQ/SQ/RQ, mean PQ)."""
+    tp = stats["tp"].astype(np.float64)
+    fp = stats["fp"].astype(np.float64)
+    fn = stats["fn"].astype(np.float64)
+    iou_sum = stats["iou_sum"]
+    denom = tp + 0.5 * fp + 0.5 * fn
+    present = denom > 0
+    sq = np.where(tp > 0, iou_sum / np.maximum(tp, 1), 0.0)
+    rq = np.where(present, tp / np.maximum(denom, 1e-9), 0.0)
+    pq = sq * rq
+    mean_pq = float(pq[present].mean()) if present.any() else float("nan")
+    return {"pq": pq, "sq": sq, "rq": rq, "present": present, "mean_pq": mean_pq}

@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Evaluation / visualization / throughput entry (reference-parity CLI).
+
+    python run.py --type evaluate  --cfg_file configs/synthetic_panoptic.yaml
+    python run.py --type visualize --cfg_file ...
+    python run.py --type network   --cfg_file ...   # throughput probe
+"""
+
+import argparse
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="panopticnerf_tpu runner")
+    p.add_argument("--type", type=str, required=True,
+                   choices=["evaluate", "visualize", "network"])
+    p.add_argument("--cfg_file", type=str, default=None)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from panopticnerf_tpu import engine
+    from panopticnerf_tpu.config import make_cfg
+
+    cfg = make_cfg(args)
+    getattr(engine, f"run_{args.type}")(cfg)
+
+
+if __name__ == "__main__":
+    main()

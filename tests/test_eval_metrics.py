@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from panopticnerf_tpu.eval import (
+    confusion_matrix,
+    iou_from_confusion,
+    panoptic_quality,
+    pq_from_stats,
+    psnr,
+)
+
+
+def test_psnr_known_value():
+    gt = np.zeros((4, 4, 3))
+    pred = np.full((4, 4, 3), 0.1)
+    assert psnr(pred, gt) == pytest.approx(20.0, abs=1e-6)
+    assert psnr(gt, gt) > 100
+
+
+def test_confusion_matrix_and_miou():
+    gt = np.array([0, 0, 1, 1, 2, 255])
+    pred = np.array([0, 1, 1, 1, 0, 2])
+    cm = np.asarray(confusion_matrix(pred, gt, 3))
+    assert cm.sum() == 5  # ignore dropped
+    assert cm[0, 0] == 1 and cm[0, 1] == 1 and cm[1, 1] == 2 and cm[2, 0] == 1
+    iou, miou = iou_from_confusion(cm)
+    # class0: tp=1 fp=1 fn=1 -> 1/3; class1: tp=2 fp=1 fn=0 -> 2/3; class2: 0
+    assert iou[0] == pytest.approx(1 / 3)
+    assert iou[1] == pytest.approx(2 / 3)
+    assert iou[2] == pytest.approx(0.0)
+    assert miou == pytest.approx((1 / 3 + 2 / 3 + 0) / 3)
+
+
+def _pq(pred_sem, pred_inst, gt_sem, gt_inst, things, C=4):
+    st = panoptic_quality(
+        np.array(pred_sem), np.array(pred_inst),
+        np.array(gt_sem), np.array(gt_inst),
+        np.array(things), C,
+    )
+    return pq_from_stats(st)
+
+
+def test_pq_perfect_match():
+    # one stuff class (0), one thing class (1) with two instances
+    gt_sem = np.array([0, 0, 1, 1, 1, 1])
+    gt_inst = np.array([0, 0, 1, 1, 2, 2])
+    r = _pq(gt_sem, gt_inst, gt_sem, gt_inst, [False, True, False, False])
+    assert r["mean_pq"] == pytest.approx(1.0)
+    assert r["pq"][0] == pytest.approx(1.0)  # stuff segment matched
+    assert r["pq"][1] == pytest.approx(1.0)  # both instances matched
+
+
+def test_pq_instance_split_penalized():
+    # GT: one instance of class 1 over 8 px. Pred: split into two 4-px instances.
+    gt_sem = np.ones(8, int)
+    gt_inst = np.ones(8, int)
+    pred_inst = np.array([1, 1, 1, 1, 2, 2, 2, 2])
+    r = _pq(gt_sem, pred_inst * 0 + gt_sem * 0 + 1, gt_sem, gt_inst, [False, True])
+    # pred instances each have IoU 0.5 with GT (not > 0.5) -> no TP: 1 FN + 2 FP
+    r = _pq(np.ones(8, int), pred_inst, gt_sem, gt_inst, [False, True])
+    assert r["pq"][1] == pytest.approx(0.0)
+    st = panoptic_quality(np.ones(8, int), pred_inst, gt_sem, gt_inst,
+                          np.array([False, True]), 2)
+    assert st["fn"][1] == 1 and st["fp"][1] == 2
+
+
+def test_pq_partial_iou():
+    # GT instance covers 10 px; pred covers 8 of them + misses 2 (pred size 8).
+    gt_sem = np.ones(12, int)
+    gt_inst = np.array([1] * 10 + [0] * 2)
+    gt_sem[10:] = 0  # last two px are stuff class 0
+    pred_sem = np.array([1] * 8 + [0] * 4)  # pred instance covers first 8 only
+    pred_inst = np.array([5] * 8 + [0] * 4)
+    r = _pq(pred_sem, pred_inst, gt_sem, gt_inst, [False, True])
+    # IoU = 8/10 = 0.8 -> TP with SQ 0.8, RQ 1 -> PQ_thing = 0.8
+    assert r["pq"][1] == pytest.approx(0.8)
+
+
+def test_pq_class_confusion_is_fp_and_fn():
+    gt_sem = np.ones(6, int)
+    gt_inst = np.ones(6, int)
+    pred_sem = np.full(6, 2)
+    pred_inst = np.ones(6, int)
+    st = panoptic_quality(pred_sem, pred_inst, gt_sem, gt_inst,
+                          np.array([False, True, True]), 3)
+    assert st["tp"].sum() == 0
+    assert st["fn"][1] == 1
+    assert st["fp"][2] == 1
+
+
+def test_pq_ignore_region_dropped():
+    gt_sem = np.array([255, 255, 1, 1])
+    gt_inst = np.array([0, 0, 1, 1])
+    pred_sem = np.array([1, 1, 1, 1])
+    pred_inst = np.array([1, 1, 1, 1])
+    st = panoptic_quality(pred_sem, pred_inst, gt_sem, gt_inst,
+                          np.array([False, True]), 2)
+    r = pq_from_stats(st)
+    # within valid region, IoU = 1 -> perfect
+    assert r["pq"][1] == pytest.approx(1.0)

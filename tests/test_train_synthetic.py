@@ -103,8 +103,8 @@ def test_train_step_runs_and_descends(setup):
     assert float(stats["psnr"]) > float(stats0["psnr"])
 
 
-def test_psnr_rises_above_floor(setup):
-    """Overfit harder and require a PSNR floor — the config-1 fixture gate."""
+@pytest.fixture(scope="module")
+def trained(setup):
     cfg, ds, model, state = setup
     step = make_train_step(cfg, model, donate=False)
     view_ids = jnp.arange(6)
@@ -113,9 +113,50 @@ def test_psnr_rises_above_floor(setup):
     for i in range(300):
         key, sub = jax.random.split(key)
         s, stats = step(s, ds, view_ids, sub)
+    return cfg, ds, model, s, stats
+
+
+def test_psnr_rises_above_floor(trained):
+    """Overfit and require a PSNR floor — the config-1 fixture gate."""
+    cfg, ds, model, s, stats = trained
     assert float(stats["psnr"]) > 18.0, f"psnr={float(stats['psnr'])}"
     # semantics should be learning too
     assert float(stats["loss_sem2d"]) < 1.0
+
+
+def test_full_image_eval_pipeline(trained):
+    """Render a full view and push it through the Evaluator: PSNR, mIoU, PQ."""
+    import numpy as np
+
+    from panopticnerf_tpu.eval import make_evaluator
+    from panopticnerf_tpu.ops import intersect_rays
+    from panopticnerf_tpu.render import SceneBounds, render_image_rays
+
+    cfg, ds, model, s, _ = trained
+    cfg.render.ray_tile = 512
+    view = 3
+    o, d = view_rays(ds, view)
+    prims = view_primitives(ds, view)
+    iv = intersect_rays(o, d, prims, cfg.render.near, cfg.render.far, cfg.data.max_intervals)
+    bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+    out = jax.jit(
+        lambda p: render_image_rays(model, p, o, d, bounds, cfg, iv=iv)
+    )(s.params)
+
+    ev = make_evaluator(cfg)
+    gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
+    gt_sem = np.asarray(ds.gt_sem[view]).reshape(-1)
+    gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1)
+    sem, inst = ev.evaluate(out, gt_rgb, gt_sem, gt_inst)
+    res = ev.summarize()
+    assert res["psnr"] > 18.0
+    assert res["miou"] > 0.5, f"miou={res['miou']}, iou={res['iou_per_class']}"
+    assert res["pq"] > 0.3, f"pq={res['pq']}"
+    # fused instance map should reuse primitive instance ids
+    pred_insts = set(np.unique(inst[inst > 0]).tolist())
+    gt_insts = set(np.unique(gt_inst[gt_inst > 0]).tolist())
+    assert pred_insts <= set(np.unique(np.asarray(ds.prim_inst)).tolist())
+    assert len(pred_insts & gt_insts) >= 1
 
 
 def test_train_test_split():
