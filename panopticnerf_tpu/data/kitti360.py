@@ -1,0 +1,304 @@
+"""KITTI-360 dataset loader -> DeviceDataset.
+
+Reference: the Dataset in [pn] lib/datasets/kitti360/panopticnerf.py
+(unverified — SURVEY.md §2.2/§3.4). Expected tree (the PanopticNeRF
+release's preprocessed layout):
+
+  <root>/
+    calibration/perspective.txt            P_rect_00/01, R_rect_00/01, S_rect_*
+    calibration/calib_cam_to_pose.txt      image_00..03 -> IMU/pose frame
+    calibration/image_02.yaml image_03.yaml  fisheye intrinsics (MEI model)
+    data_poses/<seq>/cam0_to_world.txt     frame + 4x4 rectified-cam0 -> world
+    data_poses/<seq>/poses.txt             frame + 3x4 IMU -> world
+    data_2d_raw/<seq>/image_00/data_rect/<frame:010d>.png   (left rectified)
+    data_2d_raw/<seq>/image_01/data_rect/<frame:010d>.png   (right rectified)
+    data_2d_raw/<seq>/image_02/data_rgb/<frame:010d>.png    (left fisheye)
+    data_2d_raw/<seq>/image_03/data_rgb/<frame:010d>.png    (right fisheye)
+    data_3d_bboxes/train/<seq>.xml         3D bounding primitives
+    pspnet/<seq>/image_00/<frame:010d>.npy|.png    2D pseudo-labels (raw ids)
+    sgm/<seq>/image_00/<frame:010d>.npy|.png       stereo depth (m | mm-uint16)
+    visible_id/<seq>/<frame:010d>.txt|.npy         per-frame visible prims
+    data_2d_semantics/train/<seq>/image_00/semantic/<frame:010d>.png  eval GT
+    data_2d_semantics/train/<seq>/image_00/instance/<frame:010d>.png  eval GT
+
+Host work here is cold-path only (calibration, XML, image decode at init);
+everything lands in one DeviceDataset and all per-step work is on device.
+Missing optional streams (pspnet/sgm/GT) degrade gracefully to
+ignore/invalid values so config-1 runs need only images+poses+calibration.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data import labels as L
+from panopticnerf_tpu.data.annotation3d import (
+    boxes_visible_in_frame,
+    load_visible_ids,
+    parse_bbox_xml,
+)
+from panopticnerf_tpu.data.dataset import DeviceDataset
+
+IGNORE = 255
+
+
+# ---------------------------------------------------------------- calibration
+def load_perspective_calib(path: str) -> dict:
+    """Parse calibration/perspective.txt -> {key: ndarray}."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, vals = line.split(":", 1)
+            arr = np.array(vals.split(), dtype=np.float64)
+            key = key.strip()
+            if key.startswith("P_rect"):
+                out[key] = arr.reshape(3, 4)
+            elif key.startswith("R_rect"):
+                out[key] = arr.reshape(3, 3)
+            else:
+                out[key] = arr
+    return out
+
+
+def load_cam_to_pose(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, vals = line.split(":", 1)
+            out[key.strip()] = np.array(vals.split(), dtype=np.float64).reshape(3, 4)
+    return out
+
+
+def load_cam0_to_world(path: str) -> dict[int, np.ndarray]:
+    """frame -> (4, 4) rectified-cam0 -> world."""
+    data = np.loadtxt(path)
+    data = np.atleast_2d(data)
+    return {int(r[0]): r[1:17].reshape(4, 4) for r in data}
+
+
+def stereo_right_c2w(c2w0: np.ndarray, baseline: float) -> np.ndarray:
+    """Rectified right camera pose: origin shifted along the rectified x axis."""
+    c2w1 = c2w0.copy()
+    c2w1[:3, 3] = c2w0[:3, 3] + c2w0[:3, 0] * baseline
+    return c2w1
+
+
+# ------------------------------------------------------------------- streams
+def _load_image(path: str, ratio: float) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if ratio != 1.0:
+        w, h = img.size
+        img = img.resize((max(int(w * ratio), 1), max(int(h * ratio), 1)), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def _load_label_map(base: str, hw: tuple[int, int]) -> np.ndarray:
+    """Pseudo-label map as raw ids; nearest-resized to (h, w); IGNORE if absent."""
+    from PIL import Image
+
+    h, w = hw
+    for ext in (".npy", ".png"):
+        p = base + ext
+        if os.path.exists(p):
+            if ext == ".npy":
+                arr = np.load(p)
+                img = Image.fromarray(arr.astype(np.int32), mode="I")
+            else:
+                img = Image.open(p)
+            img = img.resize((w, h), Image.NEAREST)
+            return np.asarray(img).astype(np.int32)
+    return np.full((h, w), IGNORE, np.int32)
+
+
+def _load_depth(base: str, hw: tuple[int, int]) -> np.ndarray:
+    """Depth in meters, 0 where invalid; uint16 PNGs are millimeters."""
+    from PIL import Image
+
+    h, w = hw
+    for ext in (".npy", ".png"):
+        p = base + ext
+        if os.path.exists(p):
+            if ext == ".npy":
+                arr = np.load(p).astype(np.float32)
+            else:
+                raw = np.asarray(Image.open(p))
+                arr = raw.astype(np.float32) / 1000.0 if raw.dtype == np.uint16 else raw.astype(np.float32)
+            img = Image.fromarray(arr, mode="F").resize((w, h), Image.NEAREST)
+            return np.asarray(img, np.float32)
+    return np.zeros((h, w), np.float32)
+
+
+def _load_gt_sem_inst(root: str, seq: str, frame: int, hw: tuple[int, int]):
+    from PIL import Image
+
+    h, w = hw
+    sem_p = os.path.join(root, "data_2d_semantics", "train", seq, "image_00", "semantic", f"{frame:010d}.png")
+    inst_p = os.path.join(root, "data_2d_semantics", "train", seq, "image_00", "instance", f"{frame:010d}.png")
+    sem = np.full((h, w), IGNORE, np.int32)
+    inst = np.zeros((h, w), np.int32)
+    if os.path.exists(sem_p):
+        sem = np.asarray(Image.open(sem_p).resize((w, h), Image.NEAREST)).astype(np.int32)
+    if os.path.exists(inst_p):
+        # KITTI-360 instance png encodes semantic*1000 + instance (uint16/32)
+        raw = np.asarray(Image.open(inst_p).resize((w, h), Image.NEAREST)).astype(np.int32)
+        inst = raw % 1000
+        if not os.path.exists(sem_p):
+            sem = raw // 1000
+    return sem, inst
+
+
+# ---------------------------------------------------------------- main build
+def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
+    import jax.numpy as jnp
+
+    dc = cfg.data
+    root = dc.root
+    seq = dc.sequence
+    ratio = dc.ratio
+    to_train_ids = cfg.model.num_classes == L.NUM_TRAIN_IDS
+
+    calib = load_perspective_calib(os.path.join(root, "calibration", "perspective.txt"))
+    P0 = calib["P_rect_00"]
+    K_full = P0[:, :3].copy()
+    baseline = 0.0
+    if "P_rect_01" in calib:
+        baseline = -calib["P_rect_01"][0, 3] / calib["P_rect_01"][0, 0]
+    K = K_full.copy()
+    K[:2] *= ratio
+
+    c2w0_all = load_cam0_to_world(os.path.join(root, "data_poses", seq, "cam0_to_world.txt"))
+
+    frames = [
+        dc.frame_start + i * dc.frame_step
+        for i in range(dc.frame_num)
+        if (dc.frame_start + i * dc.frame_step) in c2w0_all
+    ]
+    if not frames:
+        raise FileNotFoundError(
+            f"no posed frames in window [{dc.frame_start}, "
+            f"{dc.frame_start + dc.frame_num * dc.frame_step}) for {seq}"
+        )
+
+    # --- primitives ---
+    xml_path = os.path.join(root, "data_3d_bboxes", "train", f"{seq}.xml")
+    boxes = parse_bbox_xml(xml_path) if os.path.exists(xml_path) else []
+    all_w2p = (
+        np.stack([b.world_to_prim for b in boxes])
+        if boxes
+        else np.zeros((0, 3, 4), np.float32)
+    )
+    raw_sem = np.array([b.semantic_id for b in boxes], np.int32)
+    if to_train_ids and len(boxes):
+        prim_sem_all = L.ID_TO_TRAINID[np.clip(raw_sem, 0, L.NUM_IDS - 1)].astype(np.int32)
+        prim_sem_all[prim_sem_all == IGNORE] = -1  # guide-only primitives
+    else:
+        prim_sem_all = raw_sem
+    prim_inst_all = np.array([b.instance_id for b in boxes], np.int32)
+    # visibility: by-index lookup table from XML 'index' when present
+    index_of = {}
+    for i, b in enumerate(boxes):
+        if b.index >= 0:
+            index_of[b.index] = i
+
+    visible_dir = os.path.join(root, "visible_id", seq)
+    P = dc.max_primitives
+
+    # --- per-view assembly (cam0 [+ cam1]) ---
+    images, Ks, c2ws, pseudos, depths = [], [], [], [], []
+    pw2p, psem, pinst, pvalid = [], [], [], []
+    gt_sems, gt_insts = [], []
+    any_gt = False
+
+    for frame in frames:
+        vis = load_visible_ids(visible_dir, frame)
+        if vis is not None and len(index_of):
+            vis_idx = [index_of[v] for v in vis.tolist() if v in index_of]
+        elif vis is not None and not index_of:
+            vis_idx = [v for v in vis.tolist() if 0 <= v < len(boxes)]
+        else:
+            vis_idx = boxes_visible_in_frame(boxes, frame)
+        vis_idx = vis_idx[:P]
+        n_vis = len(vis_idx)
+        w2p = np.zeros((P, 3, 4), np.float32)
+        sem = np.full((P,), -1, np.int32)
+        inst = np.zeros((P,), np.int32)
+        val = np.zeros((P,), bool)
+        if n_vis:
+            sel = np.asarray(vis_idx, np.int64)
+            w2p[:n_vis] = all_w2p[sel]
+            sem[:n_vis] = prim_sem_all[sel]
+            inst[:n_vis] = prim_inst_all[sel]
+            val[:n_vis] = True
+
+        c2w0 = c2w0_all[frame][:3]
+        cams = [("image_00", c2w0)]
+        if dc.use_stereo and baseline > 0:
+            cams.append(("image_01", stereo_right_c2w(c2w0_all[frame], baseline)[:3]))
+
+        for cam, c2w in cams:
+            img_p = os.path.join(root, "data_2d_raw", seq, cam, "data_rect", f"{frame:010d}.png")
+            img = _load_image(img_p, ratio)
+            hw = img.shape[:2]
+            images.append(img)
+            Ks.append(K.astype(np.float32))
+            c2ws.append(c2w.astype(np.float32))
+            if dc.use_pspnet:
+                lab = _load_label_map(os.path.join(root, "pspnet", seq, cam, f"{frame:010d}"), hw)
+                if to_train_ids:
+                    lab = L.ids_to_trainids(lab)
+            else:
+                lab = np.full(hw, IGNORE, np.int32)
+            pseudos.append(lab)
+            if dc.use_depth:
+                depths.append(_load_depth(os.path.join(root, "sgm", seq, cam, f"{frame:010d}"), hw))
+            else:
+                depths.append(np.zeros(hw, np.float32))
+            pw2p.append(w2p)
+            psem.append(sem)
+            pinst.append(inst)
+            pvalid.append(val)
+            if cam == "image_00":
+                gs, gi = _load_gt_sem_inst(root, seq, frame, hw)
+                if (gs != IGNORE).any():
+                    any_gt = True
+                    if to_train_ids:
+                        gs = L.ids_to_trainids(gs)
+            else:
+                gs = np.full(hw, IGNORE, np.int32)
+                gi = np.zeros(hw, np.int32)
+            gt_sems.append(gs)
+            gt_insts.append(gi)
+
+    images = np.stack(images)
+    cam_pos = np.stack(c2ws)[:, :, 3]
+    # Scene normalization: center on the camera trajectory, scale so the far
+    # plane maps inside ~[-1, 1] for stable PE.
+    center = cam_pos.mean(0).astype(np.float32)
+    radius = float(np.linalg.norm(cam_pos - center, axis=1).max()) + cfg.render.far
+    scale = np.float32(1.0 / radius)
+
+    return DeviceDataset(
+        images=jnp.asarray(images),
+        K=jnp.asarray(np.stack(Ks)),
+        c2w=jnp.asarray(np.stack(c2ws)),
+        pseudo=jnp.asarray(np.stack(pseudos)),
+        depth=jnp.asarray(np.stack(depths)),
+        prim_w2p=jnp.asarray(np.stack(pw2p)),
+        prim_sem=jnp.asarray(np.stack(psem)),
+        prim_inst=jnp.asarray(np.stack(pinst)),
+        prim_valid=jnp.asarray(np.stack(pvalid)),
+        bounds_center=jnp.asarray(center),
+        bounds_scale=jnp.asarray(scale),
+        gt_sem=jnp.asarray(np.stack(gt_sems)) if any_gt else None,
+        gt_inst=jnp.asarray(np.stack(gt_insts)) if any_gt else None,
+    )

@@ -236,8 +236,11 @@ def fixed_semantic_distribution(
     """
     inside = samples_in_intervals(z, iv)                       # (N, S, K)
     sem = jnp.clip(iv.semantic, 0, num_classes - 1)            # (N, K)
+    # Intervals with semantic < 0 (untrainable classes, e.g. trainId-ignored
+    # primitives) still guide sampling/instances but carry no label mass.
+    labeled = iv.mask & (iv.semantic >= 0)
     onehot = jnp.where(
-        iv.mask[..., None],
+        labeled[..., None],
         jnp.eye(num_classes, dtype=jnp.float32)[sem],
         0.0,
     )                                                          # (N, K, C)

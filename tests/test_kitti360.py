@@ -1,0 +1,263 @@
+"""KITTI-360 loader tests against a generated miniature dataset tree."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.annotation3d import boxes_visible_in_frame, parse_bbox_xml
+from panopticnerf_tpu.data.kitti360 import (
+    build_kitti360_dataset,
+    load_cam0_to_world,
+    load_perspective_calib,
+    stereo_right_c2w,
+)
+
+H, W = 24, 32
+FRAMES = [100, 101, 102]
+
+
+def _mat_xml(parent, name, arr):
+    node = ET.SubElement(parent, name)
+    ET.SubElement(node, "rows").text = str(arr.shape[0])
+    ET.SubElement(node, "cols").text = str(arr.shape[1])
+    ET.SubElement(node, "dt").text = "d"
+    ET.SubElement(node, "data").text = " ".join(f"{v:.8f}" for v in arr.reshape(-1))
+
+
+def make_fake_kitti(root):
+    from PIL import Image
+
+    seq = "2013_05_28_drive_0000_sync"
+    os.makedirs(f"{root}/calibration", exist_ok=True)
+    fx = 20.0
+    with open(f"{root}/calibration/perspective.txt", "w") as f:
+        P0 = f"{fx} 0 {W/2} 0 0 {fx} {H/2} 0 0 0 1 0"
+        # right camera: P_rect_01[0,3] = -fx * baseline, baseline = 0.6
+        P1 = f"{fx} 0 {W/2} {-fx*0.6} 0 {fx} {H/2} 0 0 0 1 0"
+        f.write(f"P_rect_00: {P0}\nR_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        f.write(f"P_rect_01: {P1}\nR_rect_01: 1 0 0 0 1 0 0 0 1\n")
+        f.write(f"S_rect_00: {W} {H}\n")
+    with open(f"{root}/calibration/calib_cam_to_pose.txt", "w") as f:
+        f.write("image_00: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+
+    os.makedirs(f"{root}/data_poses/{seq}", exist_ok=True)
+    with open(f"{root}/data_poses/{seq}/cam0_to_world.txt", "w") as f:
+        for i, fr in enumerate(FRAMES):
+            c2w = np.eye(4)
+            c2w[0, 3] = i * 0.5  # camera moves along +x, looking +z
+            vals = " ".join(f"{v:.6f}" for v in c2w.reshape(-1))
+            f.write(f"{fr} {vals}\n")
+
+    # images: left = gradient + frame tint; right = same
+    for cam in ("image_00", "image_01"):
+        d = f"{root}/data_2d_raw/{seq}/{cam}/data_rect"
+        os.makedirs(d, exist_ok=True)
+        for i, fr in enumerate(FRAMES):
+            img = np.zeros((H, W, 3), np.uint8)
+            img[..., 0] = np.linspace(0, 255, W, dtype=np.uint8)[None, :]
+            img[..., 1] = 50 * (i + 1)
+            Image.fromarray(img).save(f"{d}/{fr:010d}.png")
+
+    # 3D bboxes: one cuboid 'car' (8 verts), one extruded 'building' (12 verts)
+    os.makedirs(f"{root}/data_3d_bboxes/train", exist_ok=True)
+    rootel = ET.Element("opencv_storage")
+    obj = ET.SubElement(rootel, "object_0")
+    T1 = np.eye(4)
+    T1[:3, :3] = np.diag([2.0, 1.0, 3.0])  # scale in transform
+    T1[:3, 3] = [0, 0, 10]
+    _mat_xml(obj, "transform", T1)
+    cube = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)])
+    _mat_xml(obj, "vertices", cube)
+    _mat_xml(obj, "faces", np.zeros((6, 4)))
+    ET.SubElement(obj, "label").text = "car"
+    ET.SubElement(obj, "semanticId").text = "26"
+    ET.SubElement(obj, "instanceId").text = "1"
+    ET.SubElement(obj, "index").text = "0"
+    ET.SubElement(obj, "start_frame").text = "100"
+    ET.SubElement(obj, "end_frame").text = "102"
+    ET.SubElement(obj, "timestamp").text = "-1"
+    ET.SubElement(obj, "dynamic").text = "0"
+
+    obj2 = ET.SubElement(rootel, "object_1")
+    T2 = np.eye(4)
+    T2[:3, 3] = [5, 0, 12]
+    _mat_xml(obj2, "transform", T2)
+    poly = np.concatenate([cube * 2, cube[:4] * 1.5])  # 12 verts, non-cuboid
+    _mat_xml(obj2, "vertices", poly)
+    _mat_xml(obj2, "faces", np.zeros((8, 4)))
+    ET.SubElement(obj2, "label").text = "building"
+    ET.SubElement(obj2, "semanticId").text = "11"
+    ET.SubElement(obj2, "instanceId").text = "2"
+    ET.SubElement(obj2, "index").text = "1"
+    ET.SubElement(obj2, "start_frame").text = "101"  # not visible at frame 100
+    ET.SubElement(obj2, "end_frame").text = "102"
+    ET.SubElement(obj2, "timestamp").text = "-1"
+    ET.SubElement(obj2, "dynamic").text = "0"
+    ET.ElementTree(rootel).write(f"{root}/data_3d_bboxes/train/{seq}.xml")
+
+    # visible_id only for frame 102 (tests both paths)
+    os.makedirs(f"{root}/visible_id/{seq}", exist_ok=True)
+    with open(f"{root}/visible_id/{seq}/{102:010d}.txt", "w") as f:
+        f.write("0\n")  # only the car
+
+    # pspnet pseudo-labels (raw ids): road everywhere, car square
+    for cam in ("image_00", "image_01"):
+        d = f"{root}/pspnet/{seq}/{cam}"
+        os.makedirs(d, exist_ok=True)
+        for fr in FRAMES:
+            lab = np.full((H, W), 7, np.int32)  # road
+            lab[5:10, 5:10] = 26                # car
+            np.save(f"{d}/{fr:010d}.npy", lab)
+
+    # sgm depth: plane at 10m for half the image
+    for cam in ("image_00",):
+        d = f"{root}/sgm/{seq}/{cam}"
+        os.makedirs(d, exist_ok=True)
+        for fr in FRAMES:
+            dep = np.zeros((H, W), np.float32)
+            dep[:, : W // 2] = 10.0
+            np.save(f"{d}/{fr:010d}.npy", dep)
+
+    # GT semantics/instances for eval (kitti encoding: sem*1000+inst)
+    for fr in FRAMES:
+        d1 = f"{root}/data_2d_semantics/train/{seq}/image_00/semantic"
+        d2 = f"{root}/data_2d_semantics/train/{seq}/image_00/instance"
+        os.makedirs(d1, exist_ok=True)
+        os.makedirs(d2, exist_ok=True)
+        sem = np.full((H, W), 7, np.uint8)
+        sem[5:10, 5:10] = 26
+        inst = sem.astype(np.int32) * 1000
+        inst[5:10, 5:10] += 1
+        Image.fromarray(sem).save(f"{d1}/{fr:010d}.png")
+        Image.fromarray(inst.astype(np.int32), mode="I").save(f"{d2}/{fr:010d}.png")
+    return seq
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti360"))
+    make_fake_kitti(root)
+    return root
+
+
+def test_calibration_parsing(fake_root):
+    calib = load_perspective_calib(os.path.join(fake_root, "calibration", "perspective.txt"))
+    assert calib["P_rect_00"].shape == (3, 4)
+    baseline = -calib["P_rect_01"][0, 3] / calib["P_rect_01"][0, 0]
+    assert baseline == pytest.approx(0.6)
+
+
+def test_poses_and_stereo(fake_root):
+    seq = "2013_05_28_drive_0000_sync"
+    poses = load_cam0_to_world(os.path.join(fake_root, "data_poses", seq, "cam0_to_world.txt"))
+    assert set(poses) == set(FRAMES)
+    right = stereo_right_c2w(poses[100], 0.6)
+    np.testing.assert_allclose(right[:3, 3], poses[100][:3, 3] + [0.6, 0, 0], atol=1e-9)
+
+
+def test_xml_parsing_and_affines(fake_root):
+    seq = "2013_05_28_drive_0000_sync"
+    boxes = parse_bbox_xml(os.path.join(fake_root, "data_3d_bboxes", "train", f"{seq}.xml"))
+    assert len(boxes) == 2
+    car = boxes[0]
+    assert car.label == "car" and car.semantic_id == 26
+    assert car.instance_id == 26 * 1000 + 1
+    assert car.is_cuboid and not boxes[1].is_cuboid
+    # center of the car box (0,0,10) must map to local origin
+    A = car.world_to_prim
+    local = A[:, :3] @ np.array([0, 0, 10.0]) + A[:, 3]
+    np.testing.assert_allclose(local, 0, atol=1e-6)
+    # corner (1, .5, 11.5) -> (1,1,1)
+    local = A[:, :3] @ np.array([1.0, 0.5, 11.5]) + A[:, 3]
+    np.testing.assert_allclose(local, 1, atol=1e-6)
+    # polygon box: template AABB is [-1,1]^3 (cube*2 on +-0.5 corners) ->
+    # the world-space AABB corner maps to (+1,+1,+1) local
+    B = boxes[1].world_to_prim
+    local = B[:, :3] @ (np.array([1.0, 1.0, 1.0]) + [5, 0, 12]) + B[:, 3]
+    np.testing.assert_allclose(local, 1, atol=1e-6)
+
+
+def test_visibility_window(fake_root):
+    seq = "2013_05_28_drive_0000_sync"
+    boxes = parse_bbox_xml(os.path.join(fake_root, "data_3d_bboxes", "train", f"{seq}.xml"))
+    assert boxes_visible_in_frame(boxes, 100) == [0]
+    assert boxes_visible_in_frame(boxes, 101) == [0, 1]
+
+
+def _cfg(fake_root, **kw):
+    cfg = Config()
+    cfg.data.dataset = "kitti360"
+    cfg.data.root = fake_root
+    cfg.data.frame_start = 100
+    cfg.data.frame_num = 3
+    cfg.data.max_primitives = 4
+    cfg.data.max_intervals = 4
+    cfg.model.num_classes = 19
+    for k, v in kw.items():
+        setattr(cfg.data, k, v)
+    return cfg
+
+
+def test_build_dataset_stereo(fake_root):
+    cfg = _cfg(fake_root)
+    ds = build_kitti360_dataset(cfg)
+    assert ds.images.shape == (6, H, W, 3)        # 3 frames x 2 cams
+    assert ds.prim_w2p.shape == (6, 4, 3, 4)
+    # frame 100 (views 0,1): only car visible; frame 101: both
+    assert int(ds.prim_valid[0].sum()) == 1
+    assert int(ds.prim_valid[2].sum()) == 2
+    # frame 102 uses visible_id -> only car
+    assert int(ds.prim_valid[4].sum()) == 1
+    # semantic remapped to trainIds: car 26 -> 13
+    assert int(ds.prim_sem[0, 0]) == 13
+    # pseudo labels remapped: road 7 -> 0
+    assert int(ds.pseudo[0, 0, 0]) == 0
+    assert int(ds.pseudo[0, 6, 6]) == 13
+    # depth present on left cam only
+    assert float(ds.depth[0, 0, 0]) == 10.0
+    assert float(ds.depth[1, 0, 0]) == 0.0
+    # GT loaded and remapped
+    assert int(ds.gt_sem[0, 0, 0]) == 0
+    assert int(ds.gt_inst[0, 6, 6]) == 1
+    # right cam offset by baseline along x
+    np.testing.assert_allclose(
+        np.asarray(ds.c2w[1, :, 3] - ds.c2w[0, :, 3]), [0.6, 0, 0], atol=1e-6
+    )
+
+
+def test_build_dataset_mono_quarter(fake_root):
+    cfg = _cfg(fake_root, use_stereo=False, ratio=0.5, use_pspnet=False, use_depth=False)
+    ds = build_kitti360_dataset(cfg)
+    assert ds.images.shape == (3, H // 2, W // 2, 3)
+    assert (np.asarray(ds.pseudo) == 255).all()
+    assert (np.asarray(ds.depth) == 0).all()
+    # intrinsics scaled
+    assert float(ds.K[0, 0, 0]) == pytest.approx(10.0)
+
+
+def test_build_dataset_trains(fake_root):
+    """Sanity: the kitti-format dataset plugs into the jitted train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.models import init_params, make_network
+    from panopticnerf_tpu.train import make_train_state, make_train_step
+
+    cfg = _cfg(fake_root)
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 32
+    cfg.model.color_width = 16
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 8
+    cfg.render.use_primitives = True
+    cfg.render.far = 30.0
+    cfg.data.n_rays = 64
+    ds = build_kitti360_dataset(cfg)
+    model = make_network(cfg)
+    state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+    step = make_train_step(cfg, model, donate=False)
+    state2, stats = step(state, ds, jnp.arange(6), jax.random.key(1))
+    assert np.isfinite(float(stats["loss_total"]))
