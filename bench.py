@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Benchmark: fused TPU train step vs reference-equivalent eager pipeline.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": R, ...}
+
+The baseline denominator (SURVEY.md §6 action item: the reference cannot run
+here, so it must be *measured* as a faithful equivalent on the same
+hardware) reproduces the reference's execution shape:
+  - per-step ray sampling + ray/primitive intersection + interval-guided
+    sampling in host numpy (the reference's DataLoader-worker work,
+    [pn] lib/datasets/kitti360/panopticnerf.py)
+  - a host->device copy of the prepared batch every step
+  - Python-driven chunked render loop on device (cfg.chunk equivalent),
+    per-chunk forward+backward with gradient accumulation
+  - a separate optimizer-update dispatch
+The fused path is this repo's single-jit train step (on-device sampling,
+intersection, render, loss, backward, update).
+Workload for both: flagship model (8x256 trunk + semantic head), 2048 rays x
+64 samples, 32 primitives, guided sampling, full PanopticNeRF loss stack.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
+
+
+def flagship_cfg():
+    from panopticnerf_tpu.config import Config
+
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_image_hw = (94, 352)   # quarter-res KITTI-360 shape
+    cfg.data.synthetic_num_frames = 8
+    cfg.data.synthetic_num_boxes = 24
+    cfg.data.n_rays = 2048
+    cfg.data.max_primitives = 32
+    cfg.data.max_intervals = 16
+    cfg.model.num_classes = 19
+    cfg.render.n_samples = 64
+    cfg.render.n_importance = 0
+    cfg.render.near = 0.5
+    cfg.render.far = 40.0
+    cfg.render.use_primitives = True
+    cfg.train.lr = 5e-4
+    return cfg
+
+
+# ------------------------------------------------------------ eager baseline
+def host_intersect(o, d, w2p, sem_ids, valid, near, far, k):
+    """Reference-style CPU numpy ray/primitive intersection + top-k."""
+    R = w2p[:, :, :3]
+    t = w2p[:, :, 3]
+    o_l = np.einsum("pij,nj->npi", R, o) + t[None]
+    d_l = np.einsum("pij,nj->npi", R, d)
+    safe = np.where(np.abs(d_l) < 1e-9, 1e-9, d_l)
+    t1 = (-1.0 - o_l) / safe
+    t2 = (1.0 - o_l) / safe
+    t_in = np.maximum(np.minimum(t1, t2).max(-1), near)
+    t_out = np.minimum(np.maximum(t1, t2).min(-1), far)
+    hit = (t_out > t_in) & valid[None]
+    t_in = np.where(hit, t_in, 1e9)
+    t_out = np.where(hit, t_out, 1e9)
+    idx = np.argsort(t_in, axis=1)[:, :k]
+    take = lambda a: np.take_along_axis(a, idx, axis=1)
+    return take(t_in), take(t_out), sem_ids[idx], take(hit)
+
+
+def host_guided_z(rng, t_in, t_out, mask, n_samples, near, far):
+    """Reference-style CPU stratified sampling inside intervals."""
+    n, k = t_in.shape
+    lengths = np.where(mask, t_out - t_in, 0.0)
+    cdf = np.cumsum(lengths, axis=1)
+    total = cdf[:, -1:]
+    u = (np.arange(n_samples)[None] + rng.uniform(size=(n, n_samples))) / n_samples * total
+    idx = (u[:, :, None] >= cdf[:, None, :]).sum(-1).clip(0, k - 1)
+    cdf_prev = np.concatenate([np.zeros((n, 1)), cdf[:, :-1]], axis=1)
+    z = np.take_along_axis(t_in, idx, 1) + (u - np.take_along_axis(cdf_prev, idx, 1))
+    fallback = near + (far - near) * (np.arange(n_samples)[None] + 0.5) / n_samples
+    z = np.where(total > 1e-8, z, fallback)
+    return np.sort(z, axis=1).astype(np.float32)
+
+
+def run_baseline(cfg, ds_host, model, state, iters, chunk=512):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from panopticnerf_tpu.render.renderer import SceneBounds, render_rays
+    from panopticnerf_tpu.train.loss import compute_losses
+    from panopticnerf_tpu.data.dataset import RayBatch
+    from panopticnerf_tpu.ops.intersect import RayIntervals
+
+    images, K, c2w, pseudo, depth, w2p, sem_ids, valid = ds_host
+    h, w = images.shape[1:3]
+    bounds = SceneBounds(jnp.zeros(3), jnp.asarray(0.05))
+    rng = np.random.default_rng(0)
+    tx = state.tx
+
+    @jax.jit
+    def chunk_grad(params, ro, rd, rgb, pse, dep, t_in, t_out, sem, inst, mask, z):
+        iv = RayIntervals(t_in, t_out, sem, inst, mask)
+        batch = RayBatch(ro, rd, rgb, pse, dep, jnp.zeros(ro.shape[0], jnp.int32),
+                         jnp.ones(ro.shape[0], bool))
+
+        def loss_fn(p):
+            out = render_rays(model, p, ro, rd, bounds, jax.random.key(0), cfg,
+                              iv=iv, train=True)
+            return compute_losses(out, batch, cfg, 1.0)
+
+        (l, st), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return l, g
+
+    @jax.jit
+    def apply_update(state, grads):
+        return state.apply_gradients(grads=grads)
+
+    def one_step(state):
+        # ---- host-side "dataloader" work (the reference's CPU path) ----
+        n = cfg.data.n_rays
+        vi = rng.integers(0, images.shape[0], n)
+        uu = rng.integers(0, w, n)
+        vv = rng.integers(0, h, n)
+        rgb = images[vi, vv, uu].astype(np.float32) / 255.0
+        pse = pseudo[vi, vv, uu]
+        dep = depth[vi, vv, uu]
+        x = (uu + 0.5 - K[0, 2]) / K[0, 0]
+        y = (vv + 0.5 - K[1, 2]) / K[1, 1]
+        dirs = np.stack([x, y, np.ones_like(x)], 1)
+        Rm = c2w[vi, :, :3]
+        d = np.einsum("nij,nj->ni", Rm, dirs)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o = c2w[vi, :, 3]
+        t_in, t_out, sem, mask = host_intersect(
+            o, d, w2p, sem_ids, valid, cfg.render.near, cfg.render.far,
+            cfg.data.max_intervals)
+        z = host_guided_z(rng, t_in, t_out, mask, cfg.render.n_samples,
+                          cfg.render.near, cfg.render.far)
+        # ---- H2D + chunked device loop (the reference's render chunks) ----
+        grads = None
+        loss = 0.0
+        for c0 in range(0, n, chunk):
+            sl = slice(c0, c0 + chunk)
+            l, g = chunk_grad(
+                state.params,
+                jnp.asarray(o[sl], jnp.float32), jnp.asarray(d[sl], jnp.float32),
+                jnp.asarray(rgb[sl]), jnp.asarray(pse[sl]), jnp.asarray(dep[sl]),
+                jnp.asarray(t_in[sl], jnp.float32), jnp.asarray(t_out[sl], jnp.float32),
+                jnp.asarray(sem[sl], jnp.int32), jnp.asarray(sem[sl], jnp.int32),
+                jnp.asarray(mask[sl]), jnp.asarray(z[sl]),
+            )
+            grads = g if grads is None else jax.tree.map(lambda a, b: a + b, grads, g)
+            loss = loss + l
+        state = apply_update(state, jax.tree.map(lambda a: a / (n // chunk), grads))
+        return state, loss
+
+    # warmup/compile
+    state, loss = one_step(state)
+    import jax
+
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(iters):
+        state, loss = one_step(state)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    return cfg.data.n_rays * iters / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.data.synthetic import build_synthetic_dataset
+    from panopticnerf_tpu.models import init_params, make_network
+    from panopticnerf_tpu.train import make_train_state, make_train_step
+
+    cfg = flagship_cfg()
+    platform = jax.devices()[0].platform
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+
+    # ---------- fused path ----------
+    step = make_train_step(cfg, model, donate=False)
+    view_ids = jnp.arange(int(ds.images.shape[0]))
+    key = jax.random.key(0)
+    s, stats = step(state, ds, view_ids, key)  # compile
+    jax.block_until_ready(stats["loss_total"])
+    iters = 10 if FAST else 50
+    t0 = time.time()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        s, stats = step(s, ds, view_ids, sub)
+    jax.block_until_ready(stats["loss_total"])
+    fused_rps = cfg.data.n_rays * iters / (time.time() - t0)
+
+    # ---------- eager-equivalent baseline ----------
+    ds_host = (
+        np.asarray(ds.images), np.asarray(ds.K[0]), np.asarray(ds.c2w),
+        np.asarray(ds.pseudo), np.asarray(ds.depth),
+        np.asarray(ds.prim_w2p[0]), np.asarray(ds.prim_sem[0]),
+        np.asarray(ds.prim_valid[0]),
+    )
+    base_iters = 3 if FAST else 10
+    base_rps = run_baseline(cfg, ds_host, model,
+                            make_train_state(cfg, model, state.params), base_iters)
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(fused_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(fused_rps / base_rps, 2),
+        "baseline_rays_per_sec": round(base_rps, 1),
+        "platform": platform,
+        "rays_per_batch": cfg.data.n_rays,
+        "samples_per_ray": cfg.render.n_samples,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from panopticnerf_tpu.ops.intersect import Primitives, intersect_rays_per_ray
-from panopticnerf_tpu.ops.rays import gen_rays_perspective
+from panopticnerf_tpu.ops.rays import FisheyeParams, gen_rays_perspective, pixel_dirs_fisheye
 
 
 class DeviceDataset(NamedTuple):
@@ -42,6 +42,10 @@ class DeviceDataset(NamedTuple):
     bounds_scale: jnp.ndarray   # ()
     gt_sem: Optional[jnp.ndarray] = None   # (V, H, W) int32 eval GT (255 ignore)
     gt_inst: Optional[jnp.ndarray] = None  # (V, H, W) int32 eval GT instances
+    # -360 extensions (None for perspective-only datasets):
+    cam_model: Optional[jnp.ndarray] = None  # (V,) int32: 0 = perspective, 1 = MEI fisheye
+    fisheye: Optional[jnp.ndarray] = None    # (V, 7) [gamma1 gamma2 u0 v0 xi k1 k2]
+    valid_mask: Optional[jnp.ndarray] = None  # (V, H, W) bool (fisheye image circle)
 
 
 class RayBatch(NamedTuple):
@@ -51,6 +55,7 @@ class RayBatch(NamedTuple):
     pseudo: jnp.ndarray    # (N,) int32
     depth: jnp.ndarray     # (N,) float32
     view: jnp.ndarray      # (N,) int32 source view index
+    valid: jnp.ndarray     # (N,) bool (inside fisheye image circle etc.)
 
 
 def sample_ray_batch(
@@ -72,20 +77,36 @@ def sample_ray_batch(
     rgb = ds.images[vi, v, u].astype(jnp.float32) / 255.0
     pseudo = ds.pseudo[vi, v, u]
     depth = ds.depth[vi, v, u]
+    valid = ds.valid_mask[vi, v, u] if ds.valid_mask is not None else jnp.ones(n_rays, bool)
 
     uv = jnp.stack([u, v], axis=-1).astype(jnp.float32) + 0.5
-    # per-ray intrinsics/poses (views may differ)
-    K = ds.K[vi]                                               # (N, 3, 3)
     c2w = ds.c2w[vi]                                           # (N, 3, 4)
-    fx, fy = K[:, 0, 0], K[:, 1, 1]
-    cx, cy = K[:, 0, 2], K[:, 1, 2]
-    x = (uv[:, 0] - cx) / fx
-    y = (uv[:, 1] - cy) / fy
-    dirs_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    dirs_cam = _pixel_dirs(ds, vi, uv)
     d = jnp.einsum("nij,nj->ni", c2w[:, :, :3], dirs_cam)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = c2w[:, :, 3]
-    return RayBatch(rays_o=o, rays_d=d, rgb=rgb, pseudo=pseudo, depth=depth, view=vi)
+    return RayBatch(rays_o=o, rays_d=d, rgb=rgb, pseudo=pseudo, depth=depth,
+                    view=vi, valid=valid)
+
+
+def _pixel_dirs(ds: DeviceDataset, vi: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray camera-frame directions with branch-free camera-model select.
+
+    vi: (N,) view indices; uv: (N, 2). Perspective uses ds.K[vi]; fisheye
+    (cam_model == 1) uses the MEI unprojection with per-ray parameters.
+    """
+    K = ds.K[vi]                                               # (N, 3, 3)
+    x = (uv[:, 0] - K[:, 0, 2]) / K[:, 0, 0]
+    y = (uv[:, 1] - K[:, 1, 2]) / K[:, 1, 1]
+    persp = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    if ds.cam_model is None:
+        return persp
+    fp = ds.fisheye[vi]                                        # (N, 7)
+    fe = pixel_dirs_fisheye(
+        uv, FisheyeParams(fp[:, 0], fp[:, 1], fp[:, 2], fp[:, 3], fp[:, 4], fp[:, 5], fp[:, 6])
+    )
+    is_fe = (ds.cam_model[vi] == 1)[:, None]
+    return jnp.where(is_fe, fe, persp)
 
 
 def batch_intervals(ds: DeviceDataset, batch: RayBatch, near: float, far: float, k: int):
@@ -100,11 +121,19 @@ def batch_intervals(ds: DeviceDataset, batch: RayBatch, near: float, far: float,
 
 
 def view_rays(ds: DeviceDataset, view: int):
-    """All rays of one view (host-precomputed indices OK at eval time)."""
+    """All rays of one view (handles both camera models; view may be traced)."""
     h, w = ds.images.shape[1:3]
     vv, uu = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(jnp.float32) + 0.5
-    return gen_rays_perspective(uv, ds.K[view], ds.c2w[view])
+    if ds.cam_model is None:
+        return gen_rays_perspective(uv, ds.K[view], ds.c2w[view])
+    vi = jnp.full((uv.shape[0],), view, jnp.int32)
+    dirs_cam = _pixel_dirs(ds, vi, uv)
+    c2w = ds.c2w[view]
+    d = jnp.einsum("ij,nj->ni", c2w[:, :3], dirs_cam)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(c2w[:, 3], d.shape)
+    return o, d
 
 
 def view_primitives(ds: DeviceDataset, view: int) -> Primitives:

@@ -91,6 +91,71 @@ def stereo_right_c2w(c2w0: np.ndarray, baseline: float) -> np.ndarray:
     return c2w1
 
 
+def load_imu_poses(path: str) -> dict[int, np.ndarray]:
+    """data_poses/<seq>/poses.txt: frame + 3x4 IMU->world."""
+    data = np.atleast_2d(np.loadtxt(path))
+    out = {}
+    for r in data:
+        m = np.eye(4)
+        m[:3] = r[1:13].reshape(3, 4)
+        out[int(r[0])] = m
+    return out
+
+
+def load_fisheye_calib(path: str) -> dict:
+    """Parse KITTI-360 fisheye yaml (MEI model). The files start with an
+    opencv '%YAML:1.0' directive that pyyaml rejects — strip it."""
+    import yaml
+
+    with open(path) as f:
+        text = f.read()
+    lines = [l for l in text.splitlines() if not l.startswith("%YAML")]
+    doc = yaml.safe_load("\n".join(lines).replace("!!opencv-matrix", ""))
+    mirror = doc.get("mirror_parameters", {})
+    dist = doc.get("distortion_parameters", {})
+    proj = doc.get("projection_parameters", {})
+    return {
+        "image_width": int(doc.get("image_width", 1400)),
+        "image_height": int(doc.get("image_height", 1400)),
+        "xi": float(mirror.get("xi", 0.0)),
+        "k1": float(dist.get("k1", 0.0)),
+        "k2": float(dist.get("k2", 0.0)),
+        "gamma1": float(proj.get("gamma1", 1.0)),
+        "gamma2": float(proj.get("gamma2", 1.0)),
+        "u0": float(proj.get("u0", 0.0)),
+        "v0": float(proj.get("v0", 0.0)),
+    }
+
+
+def fisheye_params_scaled(fc: dict, out_hw: tuple[int, int]) -> np.ndarray:
+    """(7,) [gamma1 gamma2 u0 v0 xi k1 k2] rescaled to the stored image size."""
+    h, w = out_hw
+    sx = w / fc["image_width"]
+    sy = h / fc["image_height"]
+    return np.array(
+        [fc["gamma1"] * sx, fc["gamma2"] * sy, fc["u0"] * sx, fc["v0"] * sy,
+         fc["xi"], fc["k1"], fc["k2"]],
+        np.float32,
+    )
+
+
+def fisheye_valid_mask(fp: np.ndarray, hw: tuple[int, int], iters: int = 8) -> np.ndarray:
+    """Pixels whose MEI unprojection is defined: after undistortion,
+    1 + (1 - xi^2) r^2 > 0 (the FOV circle for xi > 1)."""
+    h, w = hw
+    g1, g2, u0, v0, xi, k1, k2 = [float(x) for x in fp]
+    vv, uu = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5, indexing="ij")
+    xd = (uu - u0) / g1
+    yd = (vv - v0) / g2
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        scale = 1.0 + k1 * r2 + k2 * r2 * r2
+        x, y = xd / np.maximum(scale, 1e-6), yd / np.maximum(scale, 1e-6)
+    r2 = x * x + y * y
+    return (1.0 + (1.0 - xi * xi) * r2) > 1e-4
+
+
 # ------------------------------------------------------------------- streams
 def _load_image(path: str, ratio: float) -> np.ndarray:
     from PIL import Image
@@ -213,11 +278,27 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
     visible_dir = os.path.join(root, "visible_id", seq)
     P = dc.max_primitives
 
-    # --- per-view assembly (cam0 [+ cam1]) ---
+    # --- fisheye calibration (image_02/03; -360 branch) ---
+    fisheye_cams = {}
+    imu_poses = None
+    if dc.use_fisheye:
+        cam2pose = load_cam_to_pose(os.path.join(root, "calibration", "calib_cam_to_pose.txt"))
+        imu_poses = load_imu_poses(os.path.join(root, "data_poses", seq, "poses.txt"))
+        for cam in ("image_02", "image_03"):
+            ypath = os.path.join(root, "calibration", f"{cam}.yaml")
+            if os.path.exists(ypath) and cam in cam2pose:
+                fc = load_fisheye_calib(ypath)
+                c2p = np.eye(4)
+                c2p[:3] = cam2pose[cam]
+                fisheye_cams[cam] = (fc, c2p)
+
+    # --- per-view assembly (cam0 [+ cam1] [+ fisheye 02/03]) ---
     images, Ks, c2ws, pseudos, depths = [], [], [], [], []
     pw2p, psem, pinst, pvalid = [], [], [], []
     gt_sems, gt_insts = [], []
+    cam_models, fisheye_ps, valid_masks = [], [], []
     any_gt = False
+    any_fisheye = False
 
     for frame in frames:
         vis = load_visible_ids(visible_dir, frame)
@@ -245,13 +326,40 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
         if dc.use_stereo and baseline > 0:
             cams.append(("image_01", stereo_right_c2w(c2w0_all[frame], baseline)[:3]))
 
+        for cam, (fc, c2p) in fisheye_cams.items():
+            if imu_poses is not None and frame in imu_poses:
+                c2w_fe = (imu_poses[frame] @ c2p)[:3]
+                cams.append((cam, c2w_fe))
+
         for cam, c2w in cams:
-            img_p = os.path.join(root, "data_2d_raw", seq, cam, "data_rect", f"{frame:010d}.png")
+            is_fisheye = cam in fisheye_cams
+            sub = "data_rgb" if is_fisheye else "data_rect"
+            img_p = os.path.join(root, "data_2d_raw", seq, cam, sub, f"{frame:010d}.png")
             img = _load_image(img_p, ratio)
             hw = img.shape[:2]
+            if is_fisheye and not images:
+                pass  # fisheye-first layouts unsupported; perspective sets HW
+            if is_fisheye and images and hw != images[0].shape[:2]:
+                from PIL import Image
+
+                th, tw = images[0].shape[:2]
+                img = np.asarray(
+                    Image.fromarray(img).resize((tw, th), Image.BILINEAR), np.uint8
+                )
+                hw = (th, tw)
             images.append(img)
             Ks.append(K.astype(np.float32))
             c2ws.append(c2w.astype(np.float32))
+            if is_fisheye:
+                any_fisheye = True
+                fp = fisheye_params_scaled(fc, hw)
+                cam_models.append(1)
+                fisheye_ps.append(fp)
+                valid_masks.append(fisheye_valid_mask(fp, hw))
+            else:
+                cam_models.append(0)
+                fisheye_ps.append(np.array([1, 1, 0, 0, 0, 0, 0], np.float32))
+                valid_masks.append(np.ones(hw, bool))
             if dc.use_pspnet:
                 lab = _load_label_map(os.path.join(root, "pspnet", seq, cam, f"{frame:010d}"), hw)
                 if to_train_ids:
@@ -301,4 +409,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
         bounds_scale=jnp.asarray(scale),
         gt_sem=jnp.asarray(np.stack(gt_sems)) if any_gt else None,
         gt_inst=jnp.asarray(np.stack(gt_insts)) if any_gt else None,
+        cam_model=jnp.asarray(np.array(cam_models, np.int32)) if any_fisheye else None,
+        fisheye=jnp.asarray(np.stack(fisheye_ps)) if any_fisheye else None,
+        valid_mask=jnp.asarray(np.stack(valid_masks)) if any_fisheye else None,
     )

@@ -1,0 +1,81 @@
+"""Data-parallel train step over a device mesh (pjit/GSPMD).
+
+One jit serves the whole slice: the on-device ray batch is sharded along the
+`data` mesh axis via a sharding constraint; params/optimizer state stay
+replicated, so XLA lowers the gradient reduction to a psum over ICI —
+exactly the scaling-book recipe (annotate shardings, let XLA insert
+collectives). Host loop is unchanged vs the single-chip path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.dataset import DeviceDataset, batch_intervals, sample_ray_batch
+from panopticnerf_tpu.parallel.mesh import replicated
+from panopticnerf_tpu.render.renderer import SceneBounds, render_rays
+from panopticnerf_tpu.train.loss import compute_losses
+from panopticnerf_tpu.train.step import TrainState
+
+
+def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True):
+    """(state, ds, view_ids, key) -> (state, stats), rays sharded over `mesh`.
+
+    n_rays must divide evenly by the mesh size (static check).
+    """
+    axis = cfg.parallel.mesh_axis_name
+    n_dev = mesh.devices.size
+    if cfg.data.n_rays % n_dev != 0:
+        raise ValueError(
+            f"data.n_rays={cfg.data.n_rays} must be divisible by mesh size {n_dev}"
+        )
+    use_prims = cfg.render.use_primitives
+    sem_gate = cfg.train.pretrain == "nerf"
+    pretrain_steps = cfg.train.pretrain_steps
+    rays_spec = jax.sharding.NamedSharding(mesh, P(axis))
+
+    def shard_rays(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(mesh, P(*((axis,) + (None,) * (x.ndim - 1))))
+            ),
+            tree,
+        )
+
+    def step_fn(state: TrainState, ds: DeviceDataset, view_ids, key):
+        k_batch, k_render = jax.random.split(key)
+        batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays)
+        batch = shard_rays(batch)
+        iv = (
+            shard_rays(
+                batch_intervals(ds, batch, cfg.render.near, cfg.render.far, cfg.data.max_intervals)
+            )
+            if use_prims
+            else None
+        )
+        sem_scale = jnp.where(state.step < pretrain_steps, 0.0, 1.0) if sem_gate else 1.0
+        bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+
+        def loss_fn(params):
+            out = render_rays(
+                model, params, batch.rays_o, batch.rays_d, bounds,
+                k_render, cfg, iv=iv, train=True,
+            )
+            return compute_losses(out, batch, cfg, sem_scale=sem_scale)
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        stats["grad_norm"] = optax.global_norm(grads)
+        return new_state, stats
+
+    repl = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -66,18 +66,23 @@ def compute_losses(
     num_classes = cfg.model.num_classes
     stats = {}
 
+    ray_ok = batch.valid  # e.g. inside the fisheye image circle
+
     # --- RGB (fine + coarse, as in hierarchical NeRF) ---
-    l_rgb = jnp.mean((out.rgb - batch.rgb) ** 2)
+    sq = jnp.mean((out.rgb - batch.rgb) ** 2, axis=-1)
+    l_rgb = _masked_mean(sq, ray_ok)
     if out.coarse is not None:
-        l_rgb = l_rgb + jnp.mean((out.coarse.rgb - batch.rgb) ** 2)
+        l_rgb = l_rgb + _masked_mean(
+            jnp.mean((out.coarse.rgb - batch.rgb) ** 2, axis=-1), ray_ok
+        )
     stats["loss_rgb"] = l_rgb
-    mse_fine = jnp.mean((out.rgb - batch.rgb) ** 2)
+    mse_fine = _masked_mean(sq, ray_ok)
     stats["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse_fine, 1e-10))
     total = lc.rgb_weight * l_rgb
 
     # --- sparse depth L1 ---
     if lc.depth_weight > 0:
-        valid = batch.depth > 0
+        valid = (batch.depth > 0) & ray_ok
         l_depth = _masked_mean(jnp.abs(out.depth - batch.depth), valid)
         if out.coarse is not None:
             l_depth = l_depth + _masked_mean(jnp.abs(out.coarse.depth - batch.depth), valid)
@@ -85,7 +90,7 @@ def compute_losses(
         total = total + lc.depth_weight * l_depth
 
     # --- semantics ---
-    has_pseudo = batch.pseudo != 255
+    has_pseudo = (batch.pseudo != 255) & ray_ok
     if out.sem_fixed is not None:
         fixed_map = out.sem_fixed                                  # (N, C)
         lab = jnp.clip(batch.pseudo, 0, num_classes - 1)

@@ -42,6 +42,19 @@ def make_fake_kitti(root):
         f.write(f"S_rect_00: {W} {H}\n")
     with open(f"{root}/calibration/calib_cam_to_pose.txt", "w") as f:
         f.write("image_00: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+        # left fisheye: 90deg yaw (looks along world -x from identity pose)
+        f.write("image_02: 0 0 -1 0.5 0 1 0 0 1 0 0 0\n")
+
+    # fisheye calibration (MEI), 40x40 native
+    with open(f"{root}/calibration/image_02.yaml", "w") as f:
+        f.write(
+            "%YAML:1.0\n"
+            "image_width: 40\nimage_height: 40\n"
+            "mirror_parameters:\n   xi: 2.2\n"
+            "distortion_parameters:\n   k1: 0.01\n   k2: -0.002\n"
+            "projection_parameters:\n   gamma1: 35.0\n   gamma2: 35.0\n"
+            "   u0: 20.0\n   v0: 20.0\n"
+        )
 
     os.makedirs(f"{root}/data_poses/{seq}", exist_ok=True)
     with open(f"{root}/data_poses/{seq}/cam0_to_world.txt", "w") as f:
@@ -49,6 +62,12 @@ def make_fake_kitti(root):
             c2w = np.eye(4)
             c2w[0, 3] = i * 0.5  # camera moves along +x, looking +z
             vals = " ".join(f"{v:.6f}" for v in c2w.reshape(-1))
+            f.write(f"{fr} {vals}\n")
+    with open(f"{root}/data_poses/{seq}/poses.txt", "w") as f:
+        for i, fr in enumerate(FRAMES):
+            m = np.eye(4)
+            m[0, 3] = i * 0.5
+            vals = " ".join(f"{v:.6f}" for v in m[:3].reshape(-1))
             f.write(f"{fr} {vals}\n")
 
     # images: left = gradient + frame tint; right = same
@@ -60,6 +79,12 @@ def make_fake_kitti(root):
             img[..., 0] = np.linspace(0, 255, W, dtype=np.uint8)[None, :]
             img[..., 1] = 50 * (i + 1)
             Image.fromarray(img).save(f"{d}/{fr:010d}.png")
+    # fisheye images (native 40x40, loader resizes to perspective HW)
+    d = f"{root}/data_2d_raw/{seq}/image_02/data_rgb"
+    os.makedirs(d, exist_ok=True)
+    for i, fr in enumerate(FRAMES):
+        img = np.full((40, 40, 3), 30 * (i + 1), np.uint8)
+        Image.fromarray(img).save(f"{d}/{fr:010d}.png")
 
     # 3D bboxes: one cuboid 'car' (8 verts), one extruded 'building' (12 verts)
     os.makedirs(f"{root}/data_3d_bboxes/train", exist_ok=True)
@@ -236,6 +261,66 @@ def test_build_dataset_mono_quarter(fake_root):
     assert (np.asarray(ds.depth) == 0).all()
     # intrinsics scaled
     assert float(ds.K[0, 0, 0]) == pytest.approx(10.0)
+
+
+def test_build_dataset_fisheye(fake_root):
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.data.kitti360 import fisheye_valid_mask
+
+    cfg = _cfg(fake_root, use_fisheye=True, use_depth=False)
+    ds = build_kitti360_dataset(cfg)
+    # 3 frames x (2 persp + 1 fisheye) = 9 views
+    assert ds.images.shape == (9, H, W, 3)
+    assert ds.cam_model is not None
+    cm = np.asarray(ds.cam_model)
+    assert cm.tolist() == [0, 0, 1] * 3
+    # fisheye params rescaled from 40x40 native to (H, W)
+    fp = np.asarray(ds.fisheye[2])
+    assert fp[0] == pytest.approx(35.0 * W / 40)
+    assert fp[2] == pytest.approx(20.0 * W / 40)
+    assert fp[4] == pytest.approx(2.2)
+    # valid mask: center pixel valid; far corner outside FOV circle
+    vm = np.asarray(ds.valid_mask[2])
+    assert vm[H // 2, W // 2]
+    assert not vm.all()
+    # fisheye c2w: cam looks along -x (90deg yaw) with 0.5m offset
+    c2w_fe = np.asarray(ds.c2w[2])
+    np.testing.assert_allclose(c2w_fe[:, 2], [-1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(c2w_fe[:, 3], [0.5, 0, 0], atol=1e-6)
+
+
+def test_fisheye_batch_rays_unit_and_valid(fake_root):
+    import jax
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.data.dataset import sample_ray_batch
+
+    cfg = _cfg(fake_root, use_fisheye=True, use_depth=False)
+    ds = build_kitti360_dataset(cfg)
+    batch = sample_ray_batch(jax.random.key(0), ds, jnp.asarray([2, 5, 8]), 256)
+    assert float(jnp.abs(jnp.linalg.norm(batch.rays_d, axis=-1) - 1).max()) < 1e-4
+    # some rays are outside the fisheye FOV circle
+    assert bool((~np.asarray(batch.valid)).any())
+
+
+def test_panorama_rays_cover_sphere():
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.render import panorama_rays
+
+    o, d = panorama_rays(jnp.zeros(3), jnp.eye(3), 16, 32)
+    d = np.asarray(d)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1, atol=1e-6)
+    # all octants hit
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz in (-1, 1):
+                assert ((np.sign(d[:, 0]) == sx) & (np.sign(d[:, 1]) == sy)
+                        & (np.sign(d[:, 2]) == sz)).any()
+    # center row looks near the horizon (|y| small at phi ~ 0)
+    mid = d.reshape(16, 32, 3)[8]
+    assert np.abs(mid[:, 1]).max() < 0.2
 
 
 def test_build_dataset_trains(fake_root):

@@ -1,0 +1,100 @@
+"""Sharded-training tests on the 8-virtual-CPU-device mesh (conftest env)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.synthetic import build_synthetic_dataset
+from panopticnerf_tpu.models import init_params, make_network
+from panopticnerf_tpu.parallel import make_mesh, make_parallel_train_step
+from panopticnerf_tpu.train import make_train_state, make_train_step
+
+
+def _cfg():
+    cfg = Config()
+    cfg.data.synthetic_image_hw = (16, 24)
+    cfg.data.synthetic_num_frames = 4
+    cfg.data.synthetic_num_boxes = 3
+    cfg.data.n_rays = 64
+    cfg.data.max_primitives = 4
+    cfg.data.max_intervals = 2
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 32
+    cfg.model.color_width = 16
+    cfg.model.num_classes = 4
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 8
+    cfg.render.near = 0.5
+    cfg.render.far = 40.0
+    cfg.render.use_primitives = True
+    return cfg
+
+
+def test_mesh_uses_all_devices():
+    cfg = _cfg()
+    mesh = make_mesh(cfg)
+    assert mesh.devices.size == 8  # conftest forces 8 virtual cpu devices
+
+
+def test_mesh_respects_requested_size():
+    cfg = _cfg()
+    cfg.parallel.data_parallel = 4
+    assert make_mesh(cfg).devices.size == 4
+    cfg.parallel.data_parallel = 99
+    with pytest.raises(ValueError):
+        make_mesh(cfg)
+
+
+def test_parallel_step_matches_single_device():
+    """Same PRNG key -> sharded step must reproduce single-device numerics."""
+    cfg = _cfg()
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    view_ids = jnp.arange(4)
+    key = jax.random.key(5)
+
+    s1 = make_train_state(cfg, model, params)
+    single = make_train_step(cfg, model, donate=False)
+    s1b, stats1 = single(s1, ds, view_ids, key)
+
+    mesh = make_mesh(cfg)
+    s2 = make_train_state(cfg, model, params)
+    par = make_parallel_train_step(cfg, model, mesh, donate=False)
+    s2b, stats2 = par(s2, ds, view_ids, key)
+
+    np.testing.assert_allclose(
+        float(stats1["loss_total"]), float(stats2["loss_total"]), rtol=1e-4
+    )
+    a = jax.tree.leaves(s1b.params)[0]
+    b = jax.tree.leaves(s2b.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_parallel_step_trains():
+    cfg = _cfg()
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    mesh = make_mesh(cfg)
+    state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+    step = make_parallel_train_step(cfg, model, mesh, donate=False)
+    key = jax.random.key(0)
+    view_ids = jnp.arange(4)
+    losses = []
+    for i in range(20):
+        key, sub = jax.random.split(key)
+        state, stats = step(state, ds, view_ids, sub)
+        losses.append(float(stats["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_rays_not_divisible_raises():
+    cfg = _cfg()
+    cfg.data.n_rays = 13
+    mesh = make_mesh(cfg)
+    model = make_network(cfg)
+    with pytest.raises(ValueError):
+        make_parallel_train_step(cfg, model, mesh)
