@@ -161,15 +161,14 @@ def run_baseline(cfg, ds_host, model, state, iters, chunk=512):
         state = apply_update(state, jax.tree.map(lambda a: a / (n // chunk), grads))
         return state, loss
 
-    # warmup/compile
+    # warmup/compile; float() readback is the only true sync through the
+    # axon relay (block_until_ready returns before remote execution ends).
     state, loss = one_step(state)
-    import jax
-
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.time()
     for _ in range(iters):
         state, loss = one_step(state)
-    jax.block_until_ready(loss)
+    float(loss)  # drain the device queue
     dt = time.time() - t0
     return cfg.data.n_rays * iters / dt
 
@@ -193,13 +192,13 @@ def main():
     view_ids = jnp.arange(int(ds.images.shape[0]))
     key = jax.random.key(0)
     s, stats = step(state, ds, view_ids, key)  # compile
-    jax.block_until_ready(stats["loss_total"])
-    iters = 10 if FAST else 50
+    float(stats["loss_total"])  # true sync (see note in run_baseline)
+    iters = 20 if FAST else 200
     t0 = time.time()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         s, stats = step(s, ds, view_ids, sub)
-    jax.block_until_ready(stats["loss_total"])
+    float(stats["loss_total"])  # drain queue
     fused_rps = cfg.data.n_rays * iters / (time.time() - t0)
 
     # ---------- eager-equivalent baseline ----------

@@ -26,6 +26,9 @@ class DataConfig:
     dataset: str = "synthetic"  # "synthetic" | "kitti360"
     root: str = "datasets/KITTI-360"
     sequence: str = "2013_05_28_drive_0000_sync"
+    # Multi-sequence training (BASELINE config 5): when non-empty, overrides
+    # `sequence` and concatenates all listed sequences into one view pool.
+    sequences: Tuple[str, ...] = ()
     # Frame window, as in the reference's per-experiment YAMLs (start + count).
     frame_start: int = 0
     frame_num: int = 64
@@ -67,6 +70,9 @@ class ModelConfig:
     use_viewdirs: bool = True
     # TPU compute dtype for the MLP matmuls (params stay f32).
     compute_dtype: str = "bfloat16"
+    # Inference/render path: route the trunk through the fused Pallas kernel
+    # (weights pinned in VMEM). Training always uses the XLA autodiff path.
+    use_pallas: bool = False
 
 
 @dataclass

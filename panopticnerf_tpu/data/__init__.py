@@ -1,5 +1,6 @@
 from panopticnerf_tpu.data.dataset import (
     DeviceDataset,
+    concat_datasets,
     RayBatch,
     batch_intervals,
     sample_ray_batch,
@@ -19,9 +20,18 @@ def make_dataset(cfg):
 
         ds = build_synthetic_dataset(cfg, seed=cfg.train.seed)
     elif cfg.data.dataset == "kitti360":
+        import dataclasses
+
+        from panopticnerf_tpu.data.dataset import concat_datasets
         from panopticnerf_tpu.data.kitti360 import build_kitti360_dataset
 
-        ds = build_kitti360_dataset(cfg)
+        seqs = list(cfg.data.sequences) or [cfg.data.sequence]
+        parts = []
+        for sq in seqs:
+            c = dataclasses.replace(cfg)  # shallow; only data.sequence differs
+            c = dataclasses.replace(c, data=dataclasses.replace(cfg.data, sequence=sq))
+            parts.append(build_kitti360_dataset(c))
+        ds = concat_datasets(parts)
     else:
         raise ValueError(f"unknown dataset {cfg.data.dataset!r}")
     train_ids, test_ids = train_test_split(ds.images.shape[0], cfg.data.test_every)
@@ -32,6 +42,7 @@ def make_dataset(cfg):
 
 __all__ = [
     "DeviceDataset",
+    "concat_datasets",
     "RayBatch",
     "batch_intervals",
     "make_dataset",

@@ -145,6 +145,65 @@ def view_primitives(ds: DeviceDataset, view: int) -> Primitives:
     )
 
 
+def concat_datasets(parts: list[DeviceDataset]) -> DeviceDataset:
+    """Concatenate datasets along the view axis (multi-sequence training,
+    BASELINE config 5). Optional fields are materialized with neutral values
+    when any part carries them (mixed perspective/fisheye sequences OK).
+    All parts must share (H, W) and primitive padding P."""
+    assert parts
+    if len(parts) == 1:
+        return parts[0]
+    h, w = parts[0].images.shape[1:3]
+    p = parts[0].prim_w2p.shape[1]
+    for d in parts[1:]:
+        if d.images.shape[1:3] != (h, w) or d.prim_w2p.shape[1] != p:
+            raise ValueError("all sequences must share image size and max_primitives")
+
+    def cat(field, default_fn=None):
+        vals = [getattr(d, field) for d in parts]
+        if all(v is None for v in vals):
+            return None
+        if any(v is None for v in vals):
+            if default_fn is None:
+                raise ValueError(f"mixed None/non-None for {field}")
+            vals = [
+                v if v is not None else default_fn(d)
+                for v, d in zip(vals, parts)
+            ]
+        return jnp.concatenate(vals, axis=0)
+
+    n_views = lambda d: d.images.shape[0]
+    centers = jnp.stack([d.bounds_center for d in parts])
+    # shared normalization: envelope of the per-sequence bounds
+    center = centers.mean(0)
+    radii = jnp.stack(
+        [1.0 / d.bounds_scale + jnp.linalg.norm(d.bounds_center - center) for d in parts]
+    )
+    scale = 1.0 / radii.max()
+
+    return DeviceDataset(
+        images=cat("images"),
+        K=cat("K"),
+        c2w=cat("c2w"),
+        pseudo=cat("pseudo"),
+        depth=cat("depth"),
+        prim_w2p=cat("prim_w2p"),
+        prim_sem=cat("prim_sem"),
+        prim_inst=cat("prim_inst"),
+        prim_valid=cat("prim_valid"),
+        bounds_center=center,
+        bounds_scale=scale,
+        gt_sem=cat("gt_sem", lambda d: jnp.full((n_views(d), h, w), 255, jnp.int32)),
+        gt_inst=cat("gt_inst", lambda d: jnp.zeros((n_views(d), h, w), jnp.int32)),
+        cam_model=cat("cam_model", lambda d: jnp.zeros((n_views(d),), jnp.int32)),
+        fisheye=cat(
+            "fisheye",
+            lambda d: jnp.tile(jnp.asarray([1, 1, 0, 0, 0, 0, 0], jnp.float32), (n_views(d), 1)),
+        ),
+        valid_mask=cat("valid_mask", lambda d: jnp.ones((n_views(d), h, w), bool)),
+    )
+
+
 def train_test_split(num_views: int, test_every: int) -> tuple[np.ndarray, np.ndarray]:
     """Reference-style held-out split: every `test_every`-th view is test."""
     ids = np.arange(num_views)

@@ -33,7 +33,17 @@ def _build(cfg: Config):
     return ds, train_ids, test_ids, model, state
 
 
+def _eval_model(cfg: Config, model):
+    """Model used on the render/eval path: optionally the Pallas fast path."""
+    if cfg.model.use_pallas:
+        from panopticnerf_tpu.models.pallas_apply import PallasApplyAdapter
+
+        return PallasApplyAdapter(cfg.model, has_fine=cfg.render.n_importance > 0)
+    return model
+
+
 def _render_view(cfg: Config, model, params, ds, view: int):
+    model = _eval_model(cfg, model)
     o, d = view_rays(ds, view)
     iv = None
     if cfg.render.use_primitives:
