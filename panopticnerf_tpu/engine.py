@@ -87,7 +87,27 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     t0 = time.time()
     rays_done = 0
     last_metrics = {}
+
+    # Preemption-safe save (SURVEY.md §5.3): TPU preemptions deliver SIGTERM;
+    # flag it and checkpoint at the next step boundary before exiting.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_term)
+
     for step in range(start_step, total_steps):
+        if preempted["flag"]:
+            log(f"SIGTERM received: checkpointing at step {step} and exiting")
+            save_model(state, ckpt_dir, step)
+            signal.signal(signal.SIGTERM, prev_handler)
+            recorder.close()
+            return {"state": state, "model": model, "ds": ds,
+                    "test_ids": test_ids, "metrics": last_metrics,
+                    "preempted": True}
         key, sub = jax.random.split(key)
         state, stats = step_fn(state, ds, view_ids, sub)
         rays_done += cfg.data.n_rays
@@ -129,11 +149,22 @@ def _restore_for_eval(cfg: Config):
 
 def run_evaluate(cfg: Config, log=print) -> dict:
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
-    res = evaluate_views(cfg, model, params, ds, test_ids)
+    ev = make_evaluator(cfg)
+    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v))
+    for view in test_ids:
+        out = render(params, int(view))
+        gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
+        gt_sem = np.asarray(ds.gt_sem[view]).reshape(-1) if ds.gt_sem is not None else None
+        gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1) if ds.gt_inst is not None else None
+        ev.evaluate(out, gt_rgb, gt_sem, gt_inst)
+    res = ev.summarize()
+    names = None
+    if cfg.model.num_classes == 19:
+        from panopticnerf_tpu.data.labels import TRAINID_NAME
+
+        names = TRAINID_NAME
     log(f"evaluate (ckpt step {step}):")
-    for k, v in res.items():
-        if np.isscalar(v):
-            log(f"  {k}: {v:.4f}")
+    log(ev.summary_table(names))
     return res
 
 

@@ -81,3 +81,25 @@ class Evaluator:
             result["sq"] = pq["sq"]
             result["rq"] = pq["rq"]
         return result
+
+    def summary_table(self, class_names: list[str] | None = None) -> str:
+        """Reference-style per-class table (mIoU / PQ rows; SURVEY.md §3.2)."""
+        res = self.summarize()
+        lines = []
+        if "miou" in res:
+            iou = res["iou_per_class"]
+            pqc = res.get("pq_per_class")
+            lines.append(f"{'class':<22}{'IoU':>8}{'PQ':>8}")
+            for c in range(self.num_classes):
+                if not np.isfinite(iou[c]) and (pqc is None or pqc[c] == 0):
+                    continue
+                name = (class_names[c] if class_names and c < len(class_names)
+                        else str(c))
+                iou_s = f"{iou[c]:.3f}" if np.isfinite(iou[c]) else "-"
+                pq_s = f"{pqc[c]:.3f}" if pqc is not None else "-"
+                lines.append(f"{name:<22}{iou_s:>8}{pq_s:>8}")
+            lines.append(f"{'mean':<22}{res['miou']:>8.3f}"
+                         f"{res.get('pq', float('nan')):>8.3f}")
+        if "psnr" in res:
+            lines.append(f"PSNR: {res['psnr']:.2f} dB")
+        return "\n".join(lines)
