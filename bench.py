@@ -27,6 +27,8 @@ import json
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import numpy as np
 
 FAST = os.environ.get("BENCH_FAST", "0") == "1"
