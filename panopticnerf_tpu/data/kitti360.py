@@ -30,7 +30,6 @@ ignore/invalid values so config-1 runs need only images+poses+calibration.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -12,8 +12,9 @@ recompile) every `refresh_steps`.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import threading
-from typing import Callable, Optional
 
 import jax
 import numpy as np

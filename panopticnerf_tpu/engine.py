@@ -7,7 +7,6 @@ everything routes through the jitted step/renderer.
 
 from __future__ import annotations
 
-import os
 import time
 
 import jax
@@ -168,7 +167,7 @@ def run_evaluate(cfg: Config, log=print) -> dict:
     return res
 
 
-def run_visualize(cfg: Config, log=print) -> list:
+def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None) -> list:
     from panopticnerf_tpu.viz import Visualizer
 
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
@@ -181,6 +180,24 @@ def run_visualize(cfg: Config, log=print) -> list:
         out = render(params, int(view))
         sem, inst = ev.evaluate(out)
         written += viz.write_view(int(view), out, (h, w), sem=sem, inst=inst)
+    if panorama_hw is not None:
+        # 360-degree label transfer: one panorama at the middle test view
+        from panopticnerf_tpu.render import render_panorama
+
+        eval_model = _eval_model(cfg, model)
+        view = int(test_ids[len(test_ids) // 2])
+        pano = jax.jit(
+            lambda p: render_panorama(eval_model, p, ds, view, panorama_hw, cfg)
+        )(params)
+        sem_p, inst_p = ev.evaluate(pano)
+        written += viz.write_view(
+            1_000_000 + view, pano, panorama_hw, sem=sem_p, inst=inst_p
+        )
+    for suffix, name in (("_rgb.png", "rgb.mp4"), ("_semantic.png", "semantic.mp4"),
+                         ("_panoptic.png", "panoptic.mp4")):
+        v = viz.write_video(suffix, name)
+        if v:
+            written.append(v)
     log(f"wrote {len(written)} files under {cfg.result_path}")
     return written
 

@@ -14,7 +14,8 @@ f32 before compositing. All shapes static.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
+
 
 import flax.linen as nn
 import jax.numpy as jnp

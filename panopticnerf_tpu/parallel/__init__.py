@@ -1,4 +1,12 @@
+from panopticnerf_tpu.parallel.distributed import host_fold_key, maybe_init_distributed
 from panopticnerf_tpu.parallel.mesh import make_mesh, ray_sharded, replicated
 from panopticnerf_tpu.parallel.step import make_parallel_train_step
 
-__all__ = ["make_mesh", "make_parallel_train_step", "ray_sharded", "replicated"]
+__all__ = [
+    "host_fold_key",
+    "make_mesh",
+    "make_parallel_train_step",
+    "maybe_init_distributed",
+    "ray_sharded",
+    "replicated",
+]

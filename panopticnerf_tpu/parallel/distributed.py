@@ -1,0 +1,41 @@
+"""Multi-host slice initialization (SURVEY.md §5.8).
+
+Single-host runs need nothing. On a multi-host TPU slice, call
+`maybe_init_distributed()` once at process start: jax.distributed wires the
+DCN control plane; ICI collectives inside the jitted step need no further
+setup (GSPMD lowers them from the mesh shardings).
+
+Host-local data: each host feeds the same on-device sampling step; the PRNG
+key is folded with the process index so hosts draw disjoint ray batches
+(the per-host shard of the global batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed when a coordinator is configured.
+
+    Uses the standard env contract (JAX_COORDINATOR_ADDRESS / TPU runtime
+    auto-detect). Returns True if a multi-process runtime was initialized.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized by the runtime
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        return jax.process_count() > 1
+    return False
+
+
+def host_fold_key(key: jax.Array) -> jax.Array:
+    """Per-host PRNG stream: hosts sample disjoint ray batches."""
+    return jax.random.fold_in(key, jax.process_index())

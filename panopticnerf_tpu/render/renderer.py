@@ -58,11 +58,15 @@ def _query(model, params, pts_world, viewdirs, bounds: SceneBounds, level: int):
 
 
 def _composite_level(
-    model, params, rays_o, rays_d, z, bounds, far, level, iv, num_classes, white_bkgd
+    model, params, rays_o, rays_d, z, bounds, far, level, iv, num_classes,
+    white_bkgd, noise_key=None, raw_noise_std=0.0,
 ):
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]     # (N, S, 3)
     dirs = rays_d[:, None, :]
     sigma, rgb, sem = _query(model, params, pts, dirs, bounds, level)
+    if noise_key is not None and raw_noise_std > 0:
+        # Classic NeRF density-noise regularizer (reference raw_noise_std).
+        sigma = sigma + raw_noise_std * jax.random.normal(noise_key, sigma.shape)
 
     sem_fixed = None
     inside_iv = None
@@ -97,7 +101,8 @@ def render_rays(
     n = rays_o.shape[0]
     num_classes = cfg.model.num_classes
     perturb = rc.perturb and train
-    k_coarse, k_fine = jax.random.split(key)
+    k_coarse, k_fine, k_nc, k_nf = jax.random.split(key, 4)
+    noise = rc.raw_noise_std if train else 0.0
 
     # --- coarse depths ---
     if iv is not None and rc.use_primitives:
@@ -106,7 +111,8 @@ def render_rays(
         z = sampling.stratified_z(k_coarse, n, rc.n_samples, rc.near, rc.far, perturb)
 
     out_c, sem_c, fixed_c, inside_any_c = _composite_level(
-        model, params, rays_o, rays_d, z, bounds, rc.far, 0, iv, num_classes, rc.white_bkgd
+        model, params, rays_o, rays_d, z, bounds, rc.far, 0, iv, num_classes,
+        rc.white_bkgd, noise_key=k_nc, raw_noise_std=noise,
     )
 
     def pack(out, sem_samples, fixed_samples, inside_any, z_used, coarse=None):
@@ -131,7 +137,8 @@ def render_rays(
     z_all = sampling.merge_z(z, z_fine)
 
     out_f, sem_f, fixed_f, inside_any_f = _composite_level(
-        model, params, rays_o, rays_d, z_all, bounds, rc.far, 1, iv, num_classes, rc.white_bkgd
+        model, params, rays_o, rays_d, z_all, bounds, rc.far, 1, iv, num_classes,
+        rc.white_bkgd, noise_key=k_nf, raw_noise_std=noise,
     )
     coarse = pack(out_c, sem_c, fixed_c, inside_any_c, z)
     return pack(out_f, sem_f, fixed_f, inside_any_f, z_all, coarse=coarse)

@@ -20,7 +20,6 @@ serves both stages.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 

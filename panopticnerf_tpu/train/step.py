@@ -10,8 +10,6 @@ loop only feeds step counts and reads back scalar metrics.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

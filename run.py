@@ -14,6 +14,8 @@ def parse_args():
     p.add_argument("--type", type=str, required=True,
                    choices=["evaluate", "visualize", "network"])
     p.add_argument("--cfg_file", type=str, default=None)
+    p.add_argument("--panorama", type=str, default=None,
+                   help="H,W: also render an equirect panorama (visualize only)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -24,7 +26,11 @@ def main():
     from panopticnerf_tpu.config import make_cfg
 
     cfg = make_cfg(args)
-    getattr(engine, f"run_{args.type}")(cfg)
+    if args.type == "visualize":
+        pano = tuple(int(x) for x in args.panorama.split(",")) if args.panorama else None
+        engine.run_visualize(cfg, panorama_hw=pano)
+    else:
+        getattr(engine, f"run_{args.type}")(cfg)
 
 
 if __name__ == "__main__":
