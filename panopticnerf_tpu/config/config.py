@@ -49,6 +49,11 @@ class DataConfig:
     max_intervals: int = 16
     # Held-out frames: every `test_every`-th frame goes to the test split.
     test_every: int = 8
+    # Streaming (sequences larger than HBM): keep a rotating window of this
+    # many views on device; 0 = whole dataset resident (default).
+    stream_window: int = 0
+    # Rotate the window every N steps when streaming.
+    stream_refresh_steps: int = 500
     # Synthetic-scene knobs (the no-download fixture; SURVEY.md §4).
     synthetic_num_boxes: int = 8
     synthetic_image_hw: Tuple[int, int] = (64, 96)
@@ -112,6 +117,9 @@ class LossConfig:
     # composited fixed-field mass on that class exceeds weight_th.
     pseudo_filter: bool = True
     weight_th: float = 0.05
+    # Panoptic fusion at eval: blend of learned softmax vs normalized fixed
+    # field before the argmax (0 = learned only, 1 = fixed only).
+    eval_fixed_blend: float = 0.5
 
 
 @dataclass

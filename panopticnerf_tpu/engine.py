@@ -69,6 +69,20 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     """Reference train_net.py equivalent: epoch loop with save/eval cadence."""
     ds, train_ids, test_ids, model, state = _build(cfg)
     step_fn = make_train_step(cfg, model)
+
+    # Optional streaming: keep a rotating window of views in HBM
+    # (data.stream_window > 0) for sequences larger than device memory.
+    streamer = None
+    eval_ds = ds
+    if cfg.data.stream_window > 0:
+        from panopticnerf_tpu.data.stream import HostViews, ViewWindowStreamer
+
+        host = HostViews.from_device(ds)
+        streamer = ViewWindowStreamer(
+            host, cfg.data.stream_window, seed=cfg.train.seed, include=train_ids
+        )
+        ds, _ = streamer.current()
+        train_ids = np.arange(cfg.data.stream_window)
     recorder = Recorder(cfg.record_path)
     ckpt_dir = cfg.trained_model_dir
 
@@ -107,6 +121,8 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
             return {"state": state, "model": model, "ds": ds,
                     "test_ids": test_ids, "metrics": last_metrics,
                     "preempted": True}
+        if streamer is not None and step > 0 and step % cfg.data.stream_refresh_steps == 0:
+            ds, _ = streamer.advance()
         key, sub = jax.random.split(key)
         state, stats = step_fn(state, ds, view_ids, sub)
         rays_done += cfg.data.n_rays
@@ -125,12 +141,12 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
         if (step + 1) % (tc.save_ep * tc.ep_iter) == 0 or step + 1 == total_steps:
             save_model(state, ckpt_dir, step + 1)
         if (step + 1) % (tc.eval_ep * tc.ep_iter) == 0:
-            res = evaluate_views(cfg, model, state.params, ds, test_ids[:2])
+            res = evaluate_views(cfg, model, state.params, eval_ds, test_ids[:2])
             log(f"eval@{step + 1}: " + ", ".join(
                 f"{k}={v:.3f}" for k, v in res.items() if np.isscalar(v)))
     save_model(state, ckpt_dir, total_steps)
     recorder.close()
-    return {"state": state, "model": model, "ds": ds, "test_ids": test_ids,
+    return {"state": state, "model": model, "ds": eval_ds, "test_ids": test_ids,
             "metrics": last_metrics}
 
 

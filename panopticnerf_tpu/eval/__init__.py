@@ -21,7 +21,8 @@ def make_evaluator(cfg, things=None):
         else:
             things = np.ones(cfg.model.num_classes, bool)
             things[0] = False  # synthetic convention: class 0 = sky/stuff
-    return Evaluator(cfg.model.num_classes, things)
+    return Evaluator(cfg.model.num_classes, things,
+                     fixed_blend=cfg.loss.eval_fixed_blend)
 
 
 __all__ = [
