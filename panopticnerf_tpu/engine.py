@@ -37,7 +37,8 @@ def _eval_model(cfg: Config, model):
     if cfg.model.use_pallas:
         from panopticnerf_tpu.models.pallas_apply import PallasApplyAdapter
 
-        return PallasApplyAdapter(cfg.model, has_fine=cfg.render.n_importance > 0)
+        return PallasApplyAdapter(cfg.model, has_fine=cfg.render.n_importance > 0,
+                                  interpret=jax.default_backend() == "cpu")
     return model
 
 

@@ -11,11 +11,11 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from panopticnerf_tpu.config import ModelConfig
 from panopticnerf_tpu.ops.encoding import positional_encoding
-from panopticnerf_tpu.ops.pallas_mlp import fused_trunk
 
 
 def _field_params(params: dict, level: int, has_fine: bool) -> dict:
@@ -42,8 +42,16 @@ def pallas_field_apply(
     x_enc = positional_encoding(x, cfg.xyz_freqs).astype(dtype)
     weights = [p[f"trunk_{i}"]["kernel"] for i in range(cfg.trunk_depth)]
     biases = [p[f"trunk_{i}"]["bias"] for i in range(cfg.trunk_depth)]
-    h = fused_trunk(x_enc, weights, biases, tuple(cfg.skips), tile=tile,
-                    interpret=interpret).astype(dtype)
+    # Convention shift: flax concatenates PE AFTER layer s (models/nerf.py),
+    # so it is layer s+1 whose weights consume [h, x] — the kernel's skip
+    # set is shifted by one.
+    kernel_skips = tuple(s + 1 for s in cfg.skips if s + 1 < cfg.trunk_depth)
+    # jnp-packed kernel (traceable under jit, unlike the host-packed
+    # fused_trunk); the custom-VJP forward is identical math.
+    from panopticnerf_tpu.ops.pallas_mlp_train import fused_trunk_train
+
+    h = fused_trunk_train(x_enc, weights, biases, kernel_skips, tile=tile,
+                          interpret=interpret).astype(dtype)
 
     dense = lambda name, v: (v @ p[name]["kernel"].astype(dtype)
                              + p[name]["bias"].astype(dtype))
@@ -66,16 +74,26 @@ def pallas_field_apply(
     return sigma, rgb, sem
 
 
-class PallasApplyAdapter:
-    """Duck-types the `model` argument of render_rays (needs .apply only)."""
+class PallasTrainAdapter:
+    """Differentiable Pallas field: fused trunk (custom VJP — activations
+    never touch HBM, see ops/pallas_mlp_train.py) + jnp heads. Drop-in for
+    the flax model everywhere a `model.apply` is expected (train AND eval);
+    same params pytree, matching numerics and gradients (tested)."""
 
-    def __init__(self, cfg_model: ModelConfig, has_fine: bool, interpret: bool = False):
+    def __init__(self, cfg_model: ModelConfig, has_fine: bool,
+                 interpret: bool = False, tile: int = 512):
         self.cfg = cfg_model
         self.has_fine = has_fine
         self.interpret = interpret
+        self.tile = tile
 
     def apply(self, params, pts, viewdirs, level: int = 0):
         return pallas_field_apply(
             params, self.cfg, pts, viewdirs, level=level,
-            has_fine=self.has_fine, interpret=self.interpret,
+            has_fine=self.has_fine, interpret=self.interpret, tile=self.tile,
         )
+
+
+# The render/eval path uses the same adapter (the custom-VJP forward is the
+# fused forward kernel).
+PallasApplyAdapter = PallasTrainAdapter

@@ -70,21 +70,25 @@ def composite(
     inside_intervals: (N, S, K) bool containment (for instance mass).
     """
     w = compute_weights(sigma, z, far)                          # (N, S)
-    rgb_map = jnp.einsum("ns,nsc->nc", w, rgb)
-    depth_map = jnp.einsum("ns,ns->n", w, z)
+    # NOTE: broadcast-multiply-reduce, NOT einsum — per-ray einsums lower to
+    # thousands of tiny batched MXU matmuls on TPU; the VPU reduction is ~6x
+    # faster at these shapes (measured on v5e).
+    wsum = lambda field: jnp.sum(w[..., None] * field, axis=1)  # (N, S, C)->(N, C)
+    rgb_map = wsum(rgb)
+    depth_map = jnp.sum(w * z, axis=-1)
     acc = jnp.sum(w, axis=-1)
     if white_bkgd:
         rgb_map = rgb_map + (1.0 - acc[:, None])
 
     sem_map = None
     if sem_logits is not None:
-        sem_map = jnp.einsum("ns,nsc->nc", w, sem_logits)
+        sem_map = wsum(sem_logits)
     fixed_map = None
     if sem_fixed is not None:
-        fixed_map = jnp.einsum("ns,nsc->nc", w, sem_fixed)
+        fixed_map = wsum(sem_fixed)
     inst_mass = None
     if inside_intervals is not None:
-        inst_mass = jnp.einsum("ns,nsk->nk", w, inside_intervals.astype(w.dtype))
+        inst_mass = wsum(inside_intervals.astype(w.dtype))
 
     return CompositeOut(
         rgb=rgb_map, depth=depth_map, acc=acc, weights=w,

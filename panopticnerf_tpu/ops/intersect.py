@@ -244,7 +244,9 @@ def fixed_semantic_distribution(
         jnp.eye(num_classes, dtype=jnp.float32)[sem],
         0.0,
     )                                                          # (N, K, C)
-    counts = jnp.einsum("nsk,nkc->nsc", inside.astype(jnp.float32), onehot)
+    # broadcast-multiply-reduce over K (VPU) — a "nsk,nkc->nsc" einsum would
+    # lower to N tiny batched MXU matmuls (slow on TPU at these shapes)
+    counts = jnp.sum(inside[..., None].astype(jnp.float32) * onehot[:, None], axis=2)
     total = counts.sum(-1, keepdims=True)
     dist = counts / jnp.maximum(total, 1.0)
     return dist, total[..., 0] > 0

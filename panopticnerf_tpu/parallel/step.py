@@ -19,7 +19,7 @@ from panopticnerf_tpu.data.dataset import DeviceDataset, batch_intervals, sample
 from panopticnerf_tpu.parallel.mesh import replicated
 from panopticnerf_tpu.render.renderer import SceneBounds, render_rays
 from panopticnerf_tpu.train.loss import compute_losses
-from panopticnerf_tpu.train.step import TrainState
+from panopticnerf_tpu.train.step import TrainState, resolve_train_model
 
 
 def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True):
@@ -27,6 +27,7 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
 
     n_rays must divide evenly by the mesh size (static check).
     """
+    model = resolve_train_model(cfg, model)
     axis = cfg.parallel.mesh_axis_name
     n_dev = mesh.devices.size
     if cfg.data.n_rays % n_dev != 0:

@@ -52,12 +52,26 @@ def make_train_state(cfg: Config, model, params) -> TrainState:
     return TrainState.create(apply_fn=model.apply, params=params, tx=make_optimizer(cfg))
 
 
+def resolve_train_model(cfg: Config, model):
+    """Swap in the fused-Pallas field when cfg.model.use_pallas (custom VJP;
+    interpret mode on CPU so tests run everywhere)."""
+    if cfg.model.use_pallas:
+        from panopticnerf_tpu.models.pallas_apply import PallasTrainAdapter
+
+        return PallasTrainAdapter(
+            cfg.model, has_fine=cfg.render.n_importance > 0,
+            interpret=jax.default_backend() == "cpu",
+        )
+    return model
+
+
 def make_train_step(cfg: Config, model, donate: bool = True):
     """Build the jitted step: (state, ds, view_ids, key) -> (state, stats).
 
     `ds` (the DeviceDataset) and `view_ids` are traced args so one compile
     serves any scene of the same shape; cfg/model are Python statics.
     """
+    model = resolve_train_model(cfg, model)
     use_prims = cfg.render.use_primitives
     sem_gate = cfg.train.pretrain == "nerf"
     pretrain_steps = cfg.train.pretrain_steps

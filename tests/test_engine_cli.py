@@ -1,0 +1,80 @@
+"""Engine smoke tests: train -> evaluate -> visualize through the real entry
+paths (tiny sizes, CPU)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.engine import run_evaluate, run_train, run_visualize
+
+
+def tiny_cfg(tmp_path, **over):
+    cfg = Config()
+    cfg.exp_name = "enginetest"
+    cfg.model_dir = str(tmp_path / "models")
+    cfg.record_dir = str(tmp_path / "records")
+    cfg.result_dir = str(tmp_path / "results")
+    cfg.data.synthetic_image_hw = (16, 24)
+    cfg.data.synthetic_num_frames = 6
+    cfg.data.synthetic_num_boxes = 3
+    cfg.data.n_rays = 64
+    cfg.data.max_primitives = 4
+    cfg.data.max_intervals = 2
+    cfg.data.test_every = 3
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 16
+    cfg.model.color_width = 8
+    cfg.model.num_classes = 4
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 8
+    cfg.render.near = 0.5
+    cfg.render.far = 40.0
+    cfg.render.use_primitives = True
+    cfg.render.ray_tile = 128
+    cfg.train.lr = 5e-3
+    cfg.train.max_steps = 100
+    cfg.train.ep_iter = 10
+    cfg.train.log_interval = 10
+    cfg.train.record_interval = 20
+    cfg.train.save_ep = 100
+    cfg.train.eval_ep = 1000
+    cfg.train.resume = False
+    for k, v in over.items():
+        setattr(cfg.train, k, v) if hasattr(cfg.train, k) else None
+    return cfg
+
+
+def test_train_eval_visualize_roundtrip(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    logs = []
+    res = run_train(cfg, max_steps=30, log=logs.append)
+    assert "loss_total" in res["metrics"]
+    assert any("epoch" in l for l in logs)
+    # metrics jsonl written
+    assert os.path.exists(os.path.join(cfg.record_path, "metrics.jsonl"))
+
+    # resume: picks up from step 30
+    cfg.train.resume = True
+    logs2 = []
+    run_train(cfg, max_steps=40, log=logs2.append)
+    assert any("resumed from step 30" in l for l in logs2)
+
+    ev = run_evaluate(cfg, log=logs.append)
+    assert "psnr" in ev and "miou" in ev
+
+    files = run_visualize(cfg, log=logs.append, panorama_hw=(8, 16))
+    names = [os.path.basename(f) for f in files]
+    assert any("panoptic" in n for n in names)
+    assert any(n.startswith("1000") for n in names)  # panorama written
+
+
+def test_run_py_help():
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "run.py", "--help"], capture_output=True,
+                         text=True, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0
+    assert "evaluate" in out.stdout and "network" in out.stdout

@@ -16,6 +16,7 @@ def test_pallas_apply_matches_flax():
     cfg.model.color_width = 32
     cfg.model.num_classes = 7
     cfg.model.compute_dtype = "float32"
+    cfg.model.skips = (1,)  # a skip that actually triggers (layer 2 consumes PE)
     cfg.render.n_importance = 8  # exercise the fine branch too
     model = make_network(cfg)
     params = init_params(model, jax.random.key(0))
