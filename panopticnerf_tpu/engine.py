@@ -62,7 +62,9 @@ def evaluate_views(cfg: Config, model, params, ds, view_ids) -> dict:
         gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
         gt_sem = np.asarray(ds.gt_sem[view]).reshape(-1) if ds.gt_sem is not None else None
         gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1) if ds.gt_inst is not None else None
-        ev.evaluate(out, gt_rgb, gt_sem, gt_inst)
+        valid = (np.asarray(ds.valid_mask[view]).reshape(-1)
+                 if ds.valid_mask is not None else None)
+        ev.evaluate(out, gt_rgb, gt_sem, gt_inst, valid=valid)
     return ev.summarize()
 
 
@@ -172,7 +174,9 @@ def run_evaluate(cfg: Config, log=print) -> dict:
         gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
         gt_sem = np.asarray(ds.gt_sem[view]).reshape(-1) if ds.gt_sem is not None else None
         gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1) if ds.gt_inst is not None else None
-        ev.evaluate(out, gt_rgb, gt_sem, gt_inst)
+        valid = (np.asarray(ds.valid_mask[view]).reshape(-1)
+                 if ds.valid_mask is not None else None)
+        ev.evaluate(out, gt_rgb, gt_sem, gt_inst, valid=valid)
     res = ev.summarize()
     names = None
     if cfg.model.num_classes == 19:

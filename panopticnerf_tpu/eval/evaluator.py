@@ -40,10 +40,15 @@ class Evaluator:
         gt_rgb: Optional[np.ndarray] = None,     # (H*W, 3) float in [0,1]
         gt_sem: Optional[np.ndarray] = None,     # (H*W,) int
         gt_inst: Optional[np.ndarray] = None,    # (H*W,) int
+        valid: Optional[np.ndarray] = None,      # (H*W,) bool (fisheye circle)
     ):
         """Accumulate one rendered frame. Returns this frame's fused maps."""
         if gt_rgb is not None:
-            self.psnrs.append(metrics.psnr(np.asarray(out.rgb), gt_rgb))
+            mask = None if valid is None else np.broadcast_to(
+                np.asarray(valid, bool)[:, None], gt_rgb.shape)
+            self.psnrs.append(metrics.psnr(np.asarray(out.rgb), gt_rgb, mask))
+        if valid is not None and gt_sem is not None:
+            gt_sem = np.where(np.asarray(valid, bool), gt_sem, self.ignore)
 
         sem = inst = None
         if out.sem_logits is not None or out.sem_fixed is not None:

@@ -233,3 +233,10 @@ def fused_trunk_train(x_enc: jnp.ndarray, weights, biases,
                                                 dtype=x_enc.dtype)
     return trunk_train(x_enc, wp, bp, tuple(skips), (f, f_pad, w_pad, width),
                        tile, interpret)
+
+
+def fused_trunk_infer(x_enc: jnp.ndarray, weights, biases,
+                      skips: tuple[int, ...], tile: int = 512,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Forward-only alias (inference path) of the fused trunk."""
+    return fused_trunk_train(x_enc, weights, biases, skips, tile, interpret)
