@@ -166,12 +166,25 @@ def _restore_for_eval(cfg: Config):
 
 
 def run_evaluate(cfg: Config, log=print) -> dict:
+    """Reference protocol (SURVEY.md §3.2): label-transfer mIoU/PQ are
+    measured on the manually-annotated frames (which belong to the training
+    sequence — the task IS annotating it); PSNR additionally on the held-out
+    test views."""
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
     ev = make_evaluator(cfg)
     render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v))
-    for view in test_ids:
+
+    sem_views = []
+    if ds.gt_sem is not None:
+        has_gt = np.asarray((ds.gt_sem != 255).any(axis=(1, 2)))
+        sem_views = np.nonzero(has_gt)[0].tolist()
+    views = sorted(set(sem_views) | set(int(v) for v in test_ids))
+    psnr_views = set(int(v) for v in test_ids)
+
+    for view in views:
         out = render(params, int(view))
-        gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
+        gt_rgb = (np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
+                  if view in psnr_views else None)
         gt_sem = np.asarray(ds.gt_sem[view]).reshape(-1) if ds.gt_sem is not None else None
         gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1) if ds.gt_inst is not None else None
         valid = (np.asarray(ds.valid_mask[view]).reshape(-1)
