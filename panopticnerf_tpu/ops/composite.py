@@ -66,7 +66,9 @@ def composite(
 
     sigma: (N, S); rgb: (N, S, 3) post-sigmoid; z: (N, S) sorted;
     sem_logits: (N, S, C) learned semantic logits;
-    sem_fixed: (N, S, C) fixed per-sample label distribution;
+    sem_fixed: (N, S, C) optional dense fixed field (the renderer's hot path
+    instead composites the fixed map K-factored, see
+    ops.intersect.fixed_map_from_weights);
     inside_intervals: (N, S, K) bool containment (for instance mass).
     """
     w = compute_weights(sigma, z, far)                          # (N, S)

@@ -223,30 +223,62 @@ def samples_in_intervals(z: jnp.ndarray, iv: RayIntervals) -> jnp.ndarray:
     return (z_ >= iv.t_in[:, None, :]) & (z_ <= iv.t_out[:, None, :]) & iv.mask[:, None, :]
 
 
+def labeled_containment(z: jnp.ndarray, iv: RayIntervals):
+    """Containment against *labeled* intervals only.
+
+    Intervals with semantic < 0 (untrainable classes, e.g. trainId-ignored
+    primitives) still guide sampling/instances but carry no label mass.
+
+    Returns (inside_lab (N, S, K) bool, cnt (N, S) f32 labeled-prims-per-
+    sample). The fixed field never needs a dense (N, S, C) tensor: its
+    per-sample distribution is the uniform mixture over the cnt containing
+    labels, so every consumer reduces over K instead (see
+    `fixed_map_from_weights` and the 3D loss in train/loss.py).
+    """
+    inside = samples_in_intervals(z, iv)                       # (N, S, K)
+    labeled = iv.mask & (iv.semantic >= 0)                     # (N, K)
+    inside_lab = inside & labeled[:, None, :]
+    cnt = jnp.sum(inside_lab, axis=-1).astype(jnp.float32)     # (N, S)
+    return inside_lab, cnt
+
+
+def fixed_map_from_weights(
+    weights: jnp.ndarray,       # (N, S) compositing weights
+    inside_lab: jnp.ndarray,    # (N, S, K)
+    cnt: jnp.ndarray,           # (N, S)
+    iv: RayIntervals,
+    num_classes: int,
+) -> jnp.ndarray:
+    """Composited fixed-field map (N, C) without per-sample (N, S, C).
+
+    fixed_map[c] = sum_s w_s * dist_s[c] with dist_s the uniform mixture over
+    containing labels == sum_k onehot(sem_k)[c] * sum_s w_s inside_sk / cnt_s.
+    """
+    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)                      # (N, S)
+    m = jnp.sum((weights * inv_cnt)[..., None] * inside_lab.astype(weights.dtype),
+                axis=1)                                        # (N, K)
+    sem = jnp.clip(iv.semantic, 0, num_classes - 1)
+    onehot = jnp.where(
+        (iv.mask & (iv.semantic >= 0))[..., None],
+        jnp.eye(num_classes, dtype=weights.dtype)[sem],
+        0.0,
+    )                                                          # (N, K, C)
+    return jnp.sum(m[..., None] * onehot, axis=1)              # (N, C)
+
+
 def fixed_semantic_distribution(
     z: jnp.ndarray, iv: RayIntervals, num_classes: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-sample fixed semantic field from primitive containment.
-
-    The PanopticNeRF 'fixed' field: a point inside one primitive gets that
-    primitive's one-hot label; inside several, the uniform mixture; inside
-    none, the zero distribution (no supervision mass).
-
-    Returns (dist (N, S, C) float32, inside_any (N, S) bool).
+    """Dense per-sample fixed field (N, S, C) — reference semantics, used by
+    tests and external callers; the hot path uses the K-factored ops above.
     """
-    inside = samples_in_intervals(z, iv)                       # (N, S, K)
+    inside_lab, cnt = labeled_containment(z, iv)
     sem = jnp.clip(iv.semantic, 0, num_classes - 1)            # (N, K)
-    # Intervals with semantic < 0 (untrainable classes, e.g. trainId-ignored
-    # primitives) still guide sampling/instances but carry no label mass.
-    labeled = iv.mask & (iv.semantic >= 0)
     onehot = jnp.where(
-        labeled[..., None],
+        (iv.mask & (iv.semantic >= 0))[..., None],
         jnp.eye(num_classes, dtype=jnp.float32)[sem],
         0.0,
     )                                                          # (N, K, C)
-    # broadcast-multiply-reduce over K (VPU) — a "nsk,nkc->nsc" einsum would
-    # lower to N tiny batched MXU matmuls (slow on TPU at these shapes)
-    counts = jnp.sum(inside[..., None].astype(jnp.float32) * onehot[:, None], axis=2)
-    total = counts.sum(-1, keepdims=True)
-    dist = counts / jnp.maximum(total, 1.0)
-    return dist, total[..., 0] > 0
+    counts = jnp.sum(inside_lab[..., None].astype(jnp.float32) * onehot[:, None], axis=2)
+    dist = counts / jnp.maximum(cnt[..., None], 1.0)
+    return dist, cnt > 0

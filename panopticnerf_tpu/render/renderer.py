@@ -22,7 +22,8 @@ from panopticnerf_tpu.ops import sampling
 from panopticnerf_tpu.ops.composite import composite as composite_fn
 from panopticnerf_tpu.ops.intersect import (
     RayIntervals,
-    fixed_semantic_distribution,
+    fixed_map_from_weights,
+    labeled_containment,
     samples_in_intervals,
 )
 
@@ -48,8 +49,8 @@ class RenderOut(NamedTuple):
     z: Optional[jnp.ndarray] = None              # (N, S)
     weights: Optional[jnp.ndarray] = None        # (N, S)
     sample_sem_logits: Optional[jnp.ndarray] = None  # (N, S, C)
-    sample_fixed: Optional[jnp.ndarray] = None       # (N, S, C)
-    sample_inside: Optional[jnp.ndarray] = None      # (N, S) bool
+    sample_inside_k: Optional[jnp.ndarray] = None    # (N, S, K) labeled containment
+    sample_cnt: Optional[jnp.ndarray] = None         # (N, S) labeled prims/sample
 
 
 def _query(model, params, pts_world, viewdirs, bounds: SceneBounds, level: int):
@@ -68,19 +69,23 @@ def _composite_level(
         # Classic NeRF density-noise regularizer (reference raw_noise_std).
         sigma = sigma + raw_noise_std * jax.random.normal(noise_key, sigma.shape)
 
-    sem_fixed = None
     inside_iv = None
-    inside_any = None
+    inside_lab = None
+    cnt = None
     if iv is not None:
-        sem_fixed, inside_any = fixed_semantic_distribution(z, iv, num_classes)
         inside_iv = samples_in_intervals(z, iv)
+        inside_lab, cnt = labeled_containment(z, iv)
 
     out = composite_fn(
         sigma, rgb, z, far=far,
-        sem_logits=sem, sem_fixed=sem_fixed, inside_intervals=inside_iv,
+        sem_logits=sem, inside_intervals=inside_iv,
         white_bkgd=white_bkgd,
     )
-    return out, sem, sem_fixed, inside_any
+    if iv is not None:
+        # Composite the fixed field K-factored — no (N, S, C) tensors.
+        fixed_map = fixed_map_from_weights(out.weights, inside_lab, cnt, iv, num_classes)
+        out = out._replace(sem_fixed=fixed_map)
+    return out, sem, inside_lab, cnt
 
 
 def render_rays(
@@ -110,12 +115,12 @@ def render_rays(
     else:
         z = sampling.stratified_z(k_coarse, n, rc.n_samples, rc.near, rc.far, perturb)
 
-    out_c, sem_c, fixed_c, inside_any_c = _composite_level(
+    out_c, sem_c, lab_c, cnt_c = _composite_level(
         model, params, rays_o, rays_d, z, bounds, rc.far, 0, iv, num_classes,
         rc.white_bkgd, noise_key=k_nc, raw_noise_std=noise,
     )
 
-    def pack(out, sem_samples, fixed_samples, inside_any, z_used, coarse=None):
+    def pack(out, sem_samples, inside_k, cnt, z_used, coarse=None):
         return RenderOut(
             rgb=out.rgb, depth=out.depth, acc=out.acc,
             sem_logits=out.sem_logits, sem_fixed=out.sem_fixed,
@@ -123,12 +128,12 @@ def render_rays(
             inst_ids=iv.instance if iv is not None else None,
             inst_sem=iv.semantic if iv is not None else None,
             coarse=coarse, z=z_used, weights=out.weights,
-            sample_sem_logits=sem_samples, sample_fixed=fixed_samples,
-            sample_inside=inside_any,
+            sample_sem_logits=sem_samples, sample_inside_k=inside_k,
+            sample_cnt=cnt,
         )
 
     if rc.n_importance <= 0:
-        return pack(out_c, sem_c, fixed_c, inside_any_c, z)
+        return pack(out_c, sem_c, lab_c, cnt_c, z)
 
     # --- hierarchical fine pass ---
     z_mid = 0.5 * (z[:, 1:] + z[:, :-1])                      # (N, S-1) bin edges
@@ -136,12 +141,12 @@ def render_rays(
     z_fine = sampling.sample_pdf(k_fine, z_mid, w_interior, rc.n_importance, perturb)
     z_all = sampling.merge_z(z, z_fine)
 
-    out_f, sem_f, fixed_f, inside_any_f = _composite_level(
+    out_f, sem_f, lab_f, cnt_f = _composite_level(
         model, params, rays_o, rays_d, z_all, bounds, rc.far, 1, iv, num_classes,
         rc.white_bkgd, noise_key=k_nf, raw_noise_std=noise,
     )
-    coarse = pack(out_c, sem_c, fixed_c, inside_any_c, z)
-    return pack(out_f, sem_f, fixed_f, inside_any_f, z_all, coarse=coarse)
+    coarse = pack(out_c, sem_c, lab_c, cnt_c, z)
+    return pack(out_f, sem_f, lab_f, cnt_f, z_all, coarse=coarse)
 
 
 def render_image_rays(
@@ -175,8 +180,8 @@ def render_image_rays(
         )
         # Drop per-sample training extras to keep memory flat across tiles.
         return out._replace(coarse=None, z=None, weights=None,
-                            sample_sem_logits=None, sample_fixed=None,
-                            sample_inside=None)
+                            sample_sem_logits=None, sample_inside_k=None,
+                            sample_cnt=None)
 
     args = (ro_t, rd_t, iv_tiles) if iv is not None else (ro_t, rd_t)
     outs = lax.map(one_tile, args)

@@ -146,3 +146,27 @@ def test_samples_in_intervals_mask_respected():
     iv = intersect_rays(jnp.zeros((1, 3)), jnp.array([[0.0, 0, 1]]), prims, 0.1, 100.0, k=2)
     inside = samples_in_intervals(jnp.array([[5.0]]), iv)
     assert inside[0, 0].tolist() == [True, False]
+
+
+def test_fixed_map_k_factored_matches_dense():
+    """fixed_map_from_weights == weights-composite of the dense distribution."""
+    import jax
+    from panopticnerf_tpu.ops import fixed_map_from_weights, labeled_containment
+
+    prims = _boxes(
+        [[0, 0, 5], [0, 0, 6], [3, 0, 5]],
+        [[2, 2, 4], [2, 2, 4], [2, 2, 2]],
+        [1, 2, -1],  # third primitive is guide-only (untrainable label)
+        [1, 2, 3],
+    )
+    o = jnp.zeros((4, 3))
+    d = jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))
+    iv = intersect_rays(o, d, prims, 0.1, 100.0, k=4)
+    z = jnp.tile(jnp.linspace(0.5, 9.5, 12)[None], (4, 1))
+    w = jax.random.uniform(jax.random.key(0), (4, 12))
+
+    dense, _ = fixed_semantic_distribution(z, iv, num_classes=4)
+    ref = jnp.sum(w[..., None] * dense, axis=1)
+    inside_lab, cnt = labeled_containment(z, iv)
+    fast = fixed_map_from_weights(w, inside_lab, cnt, iv, num_classes=4)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
