@@ -214,6 +214,8 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None) -> l
         out = render(params, int(view))
         sem, inst = ev.evaluate(out)
         written += viz.write_view(int(view), out, (h, w), sem=sem, inst=inst)
+        if sem is not None and inst is not None:
+            written += viz.write_label_transfer(int(view), sem, inst, (h, w))
     if panorama_hw is not None:
         # 360-degree label transfer: one panorama at the middle test view
         from panopticnerf_tpu.render import render_panorama

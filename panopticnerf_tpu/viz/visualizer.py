@@ -91,6 +91,35 @@ class Visualizer:
                                     (gt_rgb.reshape(h, w, 3) * 255).astype(np.uint8)))
         return files
 
+    def write_label_transfer(self, view: int, sem: np.ndarray, inst: np.ndarray,
+                             hw: tuple[int, int]) -> list[str]:
+        """KITTI-360 submission-style label maps: a semantic png (raw ids
+        when training in trainId space we invert the mapping where unique)
+        and an instance png encoding semantic*1000 + instance — the format
+        of data_2d_semantics (the reference's label-transfer output)."""
+        from PIL import Image
+
+        h, w = hw
+        sem = np.asarray(sem).reshape(h, w)
+        inst = np.asarray(inst).reshape(h, w)
+        if self.cfg.model.num_classes == L.NUM_TRAIN_IDS:
+            # invert trainId -> canonical raw id
+            train_to_id = np.zeros(L.NUM_TRAIN_IDS + 1, np.int32)
+            for t in range(L.NUM_TRAIN_IDS):
+                train_to_id[t] = L.trainId2label[t].id
+            sem_raw = train_to_id[np.clip(sem, 0, L.NUM_TRAIN_IDS)]
+        else:
+            sem_raw = sem
+        files = []
+        p1 = os.path.join(self.out_dir, f"{view:06d}_labelsem.png")
+        Image.fromarray(sem_raw.astype(np.uint8)).save(p1)
+        files.append(p1)
+        enc = sem_raw.astype(np.int32) * 1000 + (np.asarray(inst) % 1000)
+        p2 = os.path.join(self.out_dir, f"{view:06d}_labelinst.png")
+        Image.fromarray(enc.astype(np.uint16)).save(p2)
+        files.append(p2)
+        return files
+
     def write_video(self, pattern_suffix: str = "_rgb.png", name: str = "video.mp4", fps: int = 10):
         """Assemble written frames into a video (imageio; best-effort)."""
         import glob

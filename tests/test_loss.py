@@ -1,0 +1,146 @@
+"""Direct unit tests of the loss stack, esp. pseudo-label filtering."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.dataset import RayBatch
+from panopticnerf_tpu.render.renderer import RenderOut
+from panopticnerf_tpu.train.loss import compute_losses, cross_entropy_logits, cross_entropy_probs
+
+
+def _cfg(**loss_over):
+    cfg = Config()
+    cfg.model.num_classes = 4
+    for k, v in loss_over.items():
+        setattr(cfg.loss, k, v)
+    return cfg
+
+
+def _out(n, sem_fixed=None, **over):
+    base = dict(
+        rgb=jnp.full((n, 3), 0.5),
+        depth=jnp.full((n,), 5.0),
+        acc=jnp.ones((n,)),
+        sem_logits=jnp.zeros((n, 4)),
+        sem_fixed=sem_fixed,
+        inst_mass=None, inst_ids=None, inst_sem=None,
+        coarse=None, z=None, weights=None,
+        sample_sem_logits=None, sample_inside_k=None, sample_cnt=None,
+    )
+    base.update(over)
+    return RenderOut(**base)
+
+
+def _batch(n, pseudo, depth=0.0, valid=True):
+    return RayBatch(
+        rays_o=jnp.zeros((n, 3)), rays_d=jnp.zeros((n, 3)),
+        rgb=jnp.full((n, 3), 0.5),
+        pseudo=jnp.asarray(pseudo, jnp.int32),
+        depth=jnp.full((n,), depth),
+        view=jnp.zeros((n,), jnp.int32),
+        valid=jnp.full((n,), valid, bool),
+    )
+
+
+def test_rgb_and_psnr():
+    cfg = _cfg(sem2d_weight=0.0, fix2d_weight=0.0, sem3d_weight=0.0, depth_weight=0.0)
+    out = _out(4)
+    batch = _batch(4, [255] * 4)
+    loss, stats = compute_losses(out, batch, cfg)
+    assert float(stats["loss_rgb"]) == pytest.approx(0.0, abs=1e-9)
+    assert float(stats["psnr"]) > 90
+
+
+def test_depth_only_where_valid():
+    cfg = _cfg(sem2d_weight=0.0, fix2d_weight=0.0, sem3d_weight=0.0, depth_weight=1.0)
+    out = _out(2)
+    # ray 0 has gt depth 7 (err 2), ray 1 has no depth (0 = invalid)
+    batch = RayBatch(
+        rays_o=jnp.zeros((2, 3)), rays_d=jnp.zeros((2, 3)),
+        rgb=jnp.full((2, 3), 0.5), pseudo=jnp.asarray([255, 255]),
+        depth=jnp.asarray([7.0, 0.0]), view=jnp.zeros((2,), jnp.int32),
+        valid=jnp.ones((2,), bool),
+    )
+    loss, stats = compute_losses(out, batch, cfg)
+    assert float(stats["loss_depth"]) == pytest.approx(2.0)
+
+
+def test_pseudo_filter_drops_inconsistent_pixels():
+    """Pixel whose pseudo class has < weight_th fixed-field mass is dropped —
+    unless the ray crosses no primitives at all (sky rule)."""
+    cfg = _cfg(pseudo_filter=True, weight_th=0.3, sem2d_weight=1.0,
+               fix2d_weight=0.0, sem3d_weight=0.0, depth_weight=0.0, rgb_weight=0.0)
+    n = 3
+    # ray 0: fixed mass on class 1 -> pseudo 1 consistent (kept)
+    # ray 1: fixed mass on class 1 -> pseudo 2 inconsistent (dropped)
+    # ray 2: no primitive mass -> pseudo 3 kept (sky rule)
+    sem_fixed = jnp.asarray([
+        [0.0, 0.9, 0.0, 0.0],
+        [0.0, 0.9, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+    ])
+    # distinct logits so CE differs per kept set
+    logits = jnp.asarray([
+        [0.0, 3.0, 0.0, 0.0],   # favors 1 -> low CE for pseudo 1
+        [0.0, 3.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 3.0],   # favors 3
+    ])
+    out = _out(n, sem_fixed=sem_fixed, sem_logits=logits)
+    batch = _batch(n, [1, 2, 3])
+    loss, stats = compute_losses(out, batch, cfg)
+    keep = float(stats["filter_keep_frac"]) * n
+    assert keep == pytest.approx(2.0)
+    # kept CEs are both the "correct class" CEs (low); the dropped one would
+    # have been high — verify the mean matches the two kept pixels
+    ce = cross_entropy_logits(logits, jnp.asarray([1, 2, 3]))
+    expected = (float(ce[0]) + float(ce[2])) / 2
+    assert float(stats["loss_sem2d"]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_pseudo_filter_off_keeps_everything():
+    cfg = _cfg(pseudo_filter=False, sem2d_weight=1.0, fix2d_weight=0.0,
+               sem3d_weight=0.0, depth_weight=0.0, rgb_weight=0.0)
+    sem_fixed = jnp.zeros((2, 4)).at[0, 1].set(0.9)
+    out = _out(2, sem_fixed=sem_fixed)
+    batch = _batch(2, [2, 255])  # inconsistent but kept; 255 always ignored
+    loss, stats = compute_losses(out, batch, cfg)
+    assert float(stats["filter_keep_frac"]) * 2 == pytest.approx(1.0)
+
+
+def test_invalid_rays_excluded_everywhere():
+    cfg = _cfg(sem2d_weight=1.0, fix2d_weight=0.0, sem3d_weight=0.0,
+               depth_weight=1.0, rgb_weight=1.0, pseudo_filter=False)
+    out = _out(2, rgb=jnp.asarray([[0.5, 0.5, 0.5], [0.9, 0.9, 0.9]]))
+    batch = RayBatch(
+        rays_o=jnp.zeros((2, 3)), rays_d=jnp.zeros((2, 3)),
+        rgb=jnp.full((2, 3), 0.5), pseudo=jnp.asarray([1, 1]),
+        depth=jnp.asarray([0.0, 3.0]), view=jnp.zeros((2,), jnp.int32),
+        valid=jnp.asarray([True, False]),   # ray 1 outside fisheye circle
+    )
+    loss, stats = compute_losses(out, batch, cfg)
+    # rgb error only on ray 1 (masked out) -> zero; depth only valid on ray 1
+    assert float(stats["loss_rgb"]) == pytest.approx(0.0, abs=1e-9)
+    assert float(stats["loss_depth"]) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_sem_scale_gates_semantics():
+    cfg = _cfg(sem2d_weight=1.0, fix2d_weight=1.0, sem3d_weight=0.0,
+               depth_weight=0.0, rgb_weight=0.0, pseudo_filter=False)
+    sem_fixed = jnp.zeros((2, 4)).at[:, 1].set(0.8)
+    out = _out(2, sem_fixed=sem_fixed)
+    batch = _batch(2, [2, 2])
+    l_on, _ = compute_losses(out, batch, cfg, sem_scale=1.0)
+    l_off, _ = compute_losses(out, batch, cfg, sem_scale=0.0)
+    assert float(l_on) > 0.1
+    assert float(l_off) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ce_helpers():
+    logits = jnp.asarray([[0.0, 10.0, 0.0]])
+    assert float(cross_entropy_logits(logits, jnp.asarray([1]))[0]) < 1e-3
+    assert float(cross_entropy_logits(logits, jnp.asarray([0]))[0]) > 5
+    probs = jnp.asarray([[0.2, 0.8, 0.0]])
+    assert float(cross_entropy_probs(probs, jnp.asarray([1]))[0]) == pytest.approx(
+        -np.log(0.8), rel=1e-4)
