@@ -198,8 +198,7 @@ def main():
     iters = 20 if FAST else 200
     t0 = time.time()
     for _ in range(iters):
-        key, sub = jax.random.split(key)
-        s, stats = step(s, ds, view_ids, sub)
+        s, stats = step(s, ds, view_ids, key)  # per-step RNG folds in on device
     float(stats["loss_total"])  # drain queue
     fused_rps = cfg.data.n_rays * iters / (time.time() - t0)
 

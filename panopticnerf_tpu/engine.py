@@ -126,8 +126,7 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
                     "preempted": True}
         if streamer is not None and step > 0 and step % cfg.data.stream_refresh_steps == 0:
             ds, _ = streamer.advance()
-        key, sub = jax.random.split(key)
-        state, stats = step_fn(state, ds, view_ids, sub)
+        state, stats = step_fn(state, ds, view_ids, key)
         rays_done += cfg.data.n_rays
         if (step + 1) % tc.log_interval == 0:
             scal = {k: float(v) for k, v in stats.items()}
@@ -246,13 +245,12 @@ def run_network(cfg: Config, iters: int = 50, log=print) -> dict:
     key = jax.random.key(0)
     # warmup/compile
     state2, stats = step_fn(state, ds, view_ids, key)
-    jax.block_until_ready(stats["loss_total"])
+    float(stats["loss_total"])
     t0 = time.time()
     s = state
     for i in range(iters):
-        key, sub = jax.random.split(key)
-        s, stats = step_fn(s, ds, view_ids, sub)
-    jax.block_until_ready(stats["loss_total"])
+        s, stats = step_fn(s, ds, view_ids, key)
+    float(stats["loss_total"])  # true sync through the axon relay
     dt = time.time() - t0
     rays_per_sec = cfg.data.n_rays * iters / dt
     log(f"train-step throughput: {iters} iters in {dt:.2f}s -> "

@@ -48,6 +48,7 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
         )
 
     def step_fn(state: TrainState, ds: DeviceDataset, view_ids, key):
+        key = jax.random.fold_in(key, state.step)  # see train/step.py note
         k_batch, k_render = jax.random.split(key)
         batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays)
         batch = shard_rays(batch)

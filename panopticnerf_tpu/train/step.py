@@ -78,6 +78,10 @@ def make_train_step(cfg: Config, model, donate: bool = True):
     bounds_of = lambda ds: SceneBounds(ds.bounds_center, ds.bounds_scale)
 
     def step_fn(state: TrainState, ds: DeviceDataset, view_ids, key):
+        # Fold the step counter in on-device: the host loop passes one base
+        # key every iteration (no per-step host-side RNG dispatches — those
+        # cost 2 tiny jit roundtrips/step) and resume stays deterministic.
+        key = jax.random.fold_in(key, state.step)
         k_batch, k_render = jax.random.split(key)
         batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays)
         iv = (
