@@ -64,11 +64,10 @@ def test_pallas_train_step_descends():
     model = make_network(cfg)
     state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
     step = make_train_step(cfg, model, donate=False)
-    key = jax.random.key(0)
+    key = jax.random.key(0)  # per-step variation comes from the on-device fold
     losses = []
-    for _ in range(25):
-        key, sub = jax.random.split(key)
-        state, stats = step(state, ds, jnp.arange(4), sub)
+    for _ in range(60):
+        state, stats = step(state, ds, jnp.arange(4), key)
         losses.append(float(stats["loss_total"]))
     assert np.isfinite(losses).all()
-    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert np.mean(losses[-15:]) < np.mean(losses[:15])
