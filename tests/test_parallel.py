@@ -98,3 +98,30 @@ def test_rays_not_divisible_raises():
     model = make_network(cfg)
     with pytest.raises(ValueError):
         make_parallel_train_step(cfg, model, mesh)
+
+
+def test_sharded_image_render_matches_single():
+    from panopticnerf_tpu.data.dataset import view_primitives, view_rays
+    from panopticnerf_tpu.ops import intersect_rays
+    from panopticnerf_tpu.parallel import render_image_rays_sharded
+    from panopticnerf_tpu.render import SceneBounds, render_image_rays
+
+    cfg = _cfg()
+    cfg.render.ray_tile = 32
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    o, d = view_rays(ds, 1)
+    prims = view_primitives(ds, 1)
+    iv = intersect_rays(o, d, prims, cfg.render.near, cfg.render.far,
+                        cfg.data.max_intervals)
+    bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+    mesh = make_mesh(cfg)
+
+    ref = jax.jit(lambda p: render_image_rays(model, p, o, d, bounds, cfg, iv=iv))(params)
+    out = jax.jit(
+        lambda p: render_image_rays_sharded(model, p, o, d, bounds, cfg, mesh, iv=iv)
+    )(params)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.sem_fixed), np.asarray(ref.sem_fixed), atol=1e-5)
