@@ -45,11 +45,6 @@ class RayIntervals(NamedTuple):
     mask: jnp.ndarray     # (N, K) bool
 
 
-def _to_local(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply (..., 3, 4) affine to (..., 3) points."""
-    return jnp.einsum("...ij,...j->...i", A[..., :3, :3], x) + A[..., :3, 3]
-
-
 def make_box_primitives(
     centers: jnp.ndarray,
     sizes: jnp.ndarray,

@@ -63,23 +63,6 @@ def pack_trunk(weights: Sequence[jnp.ndarray], biases: Sequence[jnp.ndarray],
     return wp, bp, (f_pad, w_pad, in_max)
 
 
-def unpack_trunk_grads(dwp: jnp.ndarray, dbp: jnp.ndarray,
-                       shapes: Sequence[tuple[int, int]],
-                       skips: tuple[int, ...], f: int, w_pad: int):
-    """Inverse of pack_trunk for gradients: packed -> per-layer lists."""
-    dws, dbs = [], []
-    for i, (fin, width) in enumerate(shapes):
-        if i in skips:
-            top = dwp[i, :width, :width]
-            bot = dwp[i, w_pad : w_pad + f, :width]
-            dws.append(jnp.concatenate([top, bot], axis=0))
-        elif i == 0:
-            dws.append(dwp[i, :f, :width])
-        else:
-            dws.append(dwp[i, :width, :width])
-        dbs.append(dbp[i, 0, :width])
-    return dws, dbs
-
 
 def _recompute_forward(x, w_ref, b_ref, layers, skips):
     """Shared trunk math; returns post-relu activations as f32 (comparisons
@@ -234,9 +217,3 @@ def fused_trunk_train(x_enc: jnp.ndarray, weights, biases,
     return trunk_train(x_enc, wp, bp, tuple(skips), (f, f_pad, w_pad, width),
                        tile, interpret)
 
-
-def fused_trunk_infer(x_enc: jnp.ndarray, weights, biases,
-                      skips: tuple[int, ...], tile: int = 512,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Forward-only alias (inference path) of the fused trunk."""
-    return fused_trunk_train(x_enc, weights, biases, skips, tile, interpret)
