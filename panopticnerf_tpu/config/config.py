@@ -142,6 +142,12 @@ class TrainConfig:
     # trains geometry+rgb(+depth) only; stage "joint" enables semantics.
     pretrain: str = ""             # "" | "nerf"
     pretrain_steps: int = 20_000   # steps of stage-1 when pretrain == "nerf"
+    # Warm start: initialize params from another experiment's checkpoint
+    # directory (weights only) — the reference's literal `pretrain nerf`
+    # loads a geometry-pretrained NeRF before the joint stage.
+    init_from: str = ""
+    # Checkpoint step to restore for evaluate/visualize (0 = latest).
+    eval_step: int = 0
     seed: int = 0
 
 

@@ -90,6 +90,10 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     ckpt_dir = cfg.trained_model_dir
 
     start_step = 0
+    if cfg.train.init_from:
+        params, init_step = load_network(state.params, cfg.train.init_from)
+        state = state.replace(params=params)
+        log(f"warm-started params from {cfg.train.init_from} (step {init_step})")
     if cfg.train.resume:
         state, restored = load_model(state, ckpt_dir)
         if restored is not None:
@@ -160,7 +164,8 @@ def make_lr(cfg: Config):
 
 def _restore_for_eval(cfg: Config):
     ds, train_ids, test_ids, model, state = _build(cfg)
-    params, step = load_network(state.params, cfg.trained_model_dir)
+    want = cfg.train.eval_step or None
+    params, step = load_network(state.params, cfg.trained_model_dir, step=want)
     return ds, test_ids, model, params, step
 
 

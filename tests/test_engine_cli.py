@@ -78,3 +78,26 @@ def test_run_py_help():
                          text=True, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0
     assert "evaluate" in out.stdout and "network" in out.stdout
+
+
+def test_warm_start_and_eval_step(tmp_path):
+    """train.init_from loads weights from another exp; eval_step pins a ckpt."""
+    import jax
+    import numpy as np
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "stage1"
+    run_train(cfg, max_steps=5)
+    stage1_dir = cfg.trained_model_dir
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.exp_name = "stage2"
+    cfg2.train.init_from = stage1_dir
+    logs = []
+    run_train(cfg2, max_steps=3, log=logs.append)
+    assert any("warm-started" in l for l in logs)
+
+    # eval a pinned step
+    cfg2.train.eval_step = 3
+    res = run_evaluate(cfg2, log=logs.append)
+    assert "psnr" in res
