@@ -43,6 +43,11 @@ class DataConfig:
     use_depth: bool = True         # sparse SGM/lidar depth
     # Ray batching.
     n_rays: int = 2048             # rays per train batch (per step, global)
+    # Views per batch: 0 = fully mixed (every ray draws a view); G > 0 =
+    # contiguous groups from G views (reference uses one frame/iteration;
+    # grouped batches make the primitive gather per-group, measurably
+    # faster on TPU).
+    views_per_batch: int = 8
     # Primitive padding (TPU fixed shapes). P primitives visible per frame,
     # K nearest ray/primitive intersection intervals kept per ray.
     max_primitives: int = 64

@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from panopticnerf_tpu.ops.intersect import Primitives, intersect_rays_per_ray
+from panopticnerf_tpu.ops.intersect import (
+    Primitives,
+    RayIntervals,
+    intersect_rays,
+    intersect_rays_per_ray,
+)
 from panopticnerf_tpu.ops.rays import FisheyeParams, gen_rays_perspective, pixel_dirs_fisheye
 
 
@@ -63,14 +68,25 @@ def sample_ray_batch(
     ds: DeviceDataset,
     view_ids: jnp.ndarray,
     n_rays: int,
+    views_per_batch: int = 0,
 ) -> RayBatch:
     """Draw a random ray batch fully on device.
 
     view_ids: (T,) int32 pool of views to sample from (the train split).
+    views_per_batch: 0 = every ray draws its view independently (fully
+    mixed); G > 0 = rays come from G views in contiguous groups of
+    n_rays // G (the reference samples ONE frame per iteration, G=1) —
+    grouped batches let the intersection path gather per GROUP instead of
+    per ray (see batch_intervals).
     """
     h, w = ds.images.shape[1:3]
     k1, k2, k3 = jax.random.split(key, 3)
-    vi = view_ids[jax.random.randint(k1, (n_rays,), 0, view_ids.shape[0])]
+    if views_per_batch > 0:
+        g = views_per_batch
+        group = view_ids[jax.random.randint(k1, (g,), 0, view_ids.shape[0])]
+        vi = jnp.repeat(group, n_rays // g, total_repeat_length=n_rays)
+    else:
+        vi = view_ids[jax.random.randint(k1, (n_rays,), 0, view_ids.shape[0])]
     u = jax.random.randint(k2, (n_rays,), 0, w)
     v = jax.random.randint(k3, (n_rays,), 0, h)
 
@@ -109,8 +125,34 @@ def _pixel_dirs(ds: DeviceDataset, vi: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndar
     return jnp.where(is_fe, fe, persp)
 
 
-def batch_intervals(ds: DeviceDataset, batch: RayBatch, near: float, far: float, k: int):
-    """Intersect a ray batch against each ray's source-view primitive set."""
+def batch_intervals(
+    ds: DeviceDataset, batch: RayBatch, near: float, far: float, k: int,
+    views_per_batch: int = 0,
+):
+    """Intersect a ray batch against each ray's source-view primitive set.
+
+    Grouped batches (views_per_batch = G > 0, see sample_ray_batch) gather
+    primitive tables once per GROUP of n//G rays instead of once per ray —
+    G small gathers + a vmap over G replaces N large gathers.
+    """
+    if views_per_batch > 0:
+        g = views_per_batch
+        n = batch.rays_o.shape[0]
+        gv = batch.view.reshape(g, n // g)[:, 0]               # (G,) group views
+        prims = Primitives(
+            world_to_prim=ds.prim_w2p[gv],
+            semantic=ds.prim_sem[gv],
+            instance=ds.prim_inst[gv],
+            valid=ds.prim_valid[gv],
+        )
+        ro = batch.rays_o.reshape(g, n // g, 3)
+        rd = batch.rays_d.reshape(g, n // g, 3)
+        iv = jax.vmap(
+            lambda o, d, A, s, i, v: intersect_rays(
+                o, d, Primitives(A, s, i, v), near, far, k
+            )
+        )(ro, rd, prims.world_to_prim, prims.semantic, prims.instance, prims.valid)
+        return RayIntervals(*[x.reshape(n, *x.shape[2:]) for x in iv])
     prims = Primitives(
         world_to_prim=ds.prim_w2p[batch.view],
         semantic=ds.prim_sem[batch.view],

@@ -28,6 +28,11 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
     n_rays must divide evenly by the mesh size (static check).
     """
     model = resolve_train_model(cfg, model)
+    if cfg.data.views_per_batch > 0 and cfg.data.n_rays % cfg.data.views_per_batch:
+        raise ValueError(
+            f"data.n_rays={cfg.data.n_rays} must be divisible by "
+            f"data.views_per_batch={cfg.data.views_per_batch}"
+        )
     axis = cfg.parallel.mesh_axis_name
     n_dev = mesh.devices.size
     if cfg.data.n_rays % n_dev != 0:
@@ -50,11 +55,13 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
     def step_fn(state: TrainState, ds: DeviceDataset, view_ids, key):
         key = jax.random.fold_in(key, state.step)  # see train/step.py note
         k_batch, k_render = jax.random.split(key)
-        batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays)
+        batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays,
+                                 cfg.data.views_per_batch)
         batch = shard_rays(batch)
         iv = (
             shard_rays(
-                batch_intervals(ds, batch, cfg.render.near, cfg.render.far, cfg.data.max_intervals)
+                batch_intervals(ds, batch, cfg.render.near, cfg.render.far,
+                            cfg.data.max_intervals, cfg.data.views_per_batch)
             )
             if use_prims
             else None

@@ -72,6 +72,11 @@ def make_train_step(cfg: Config, model, donate: bool = True):
     serves any scene of the same shape; cfg/model are Python statics.
     """
     model = resolve_train_model(cfg, model)
+    if cfg.data.views_per_batch > 0 and cfg.data.n_rays % cfg.data.views_per_batch:
+        raise ValueError(
+            f"data.n_rays={cfg.data.n_rays} must be divisible by "
+            f"data.views_per_batch={cfg.data.views_per_batch}"
+        )
     use_prims = cfg.render.use_primitives
     sem_gate = cfg.train.pretrain == "nerf"
     pretrain_steps = cfg.train.pretrain_steps
@@ -83,9 +88,11 @@ def make_train_step(cfg: Config, model, donate: bool = True):
         # cost 2 tiny jit roundtrips/step) and resume stays deterministic.
         key = jax.random.fold_in(key, state.step)
         k_batch, k_render = jax.random.split(key)
-        batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays)
+        batch = sample_ray_batch(k_batch, ds, view_ids, cfg.data.n_rays,
+                                 cfg.data.views_per_batch)
         iv = (
-            batch_intervals(ds, batch, cfg.render.near, cfg.render.far, cfg.data.max_intervals)
+            batch_intervals(ds, batch, cfg.render.near, cfg.render.far,
+                            cfg.data.max_intervals, cfg.data.views_per_batch)
             if use_prims
             else None
         )
