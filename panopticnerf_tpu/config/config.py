@@ -63,6 +63,9 @@ class DataConfig:
     synthetic_num_boxes: int = 8
     synthetic_image_hw: Tuple[int, int] = (64, 96)
     synthetic_num_frames: int = 12
+    # Add a large flat ground primitive (class 1) under the boxes — exercises
+    # big thin "stuff" primitives like KITTI-360 roads/terrain.
+    synthetic_ground: bool = False
 
 
 @dataclass

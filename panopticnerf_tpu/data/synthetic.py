@@ -91,6 +91,15 @@ def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
     classes = 1 + (np.arange(n_boxes) % (num_classes - 1))
     instances = np.arange(1, n_boxes + 1)
     palette = rng.uniform(0.2, 1.0, (n_boxes, 3))
+    if dc.synthetic_ground:
+        # KITTI-360-road-like primitive: huge, thin, flat, 'stuff' (inst 0).
+        centers = np.concatenate([centers, [[0.0, 4.0, 10.0]]])
+        sizes = np.concatenate([sizes, [[40.0, 0.5, 40.0]]])
+        rots = np.concatenate([rots, [np.eye(3)]])
+        classes = np.concatenate([classes, [1]])
+        instances = np.concatenate([instances, [0]])
+        palette = np.concatenate([palette, [[0.35, 0.3, 0.3]]])
+        n_boxes = n_boxes + 1
 
     # --- cameras: arc looking at scene center ---
     fx = 0.8 * w

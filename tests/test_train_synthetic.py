@@ -163,3 +163,20 @@ def test_train_test_split():
     train, test = train_test_split(16, 8)
     assert set(test) == {4, 12}
     assert len(train) == 14 and not (set(train) & set(test))
+
+
+def test_synthetic_ground_plane():
+    cfg = tiny_cfg()
+    cfg.data.synthetic_ground = True
+    ds = build_synthetic_dataset(cfg, seed=0)
+    import numpy as np
+
+    # ground primitive present (6th), class 1, instance 0 (stuff)
+    assert int(ds.prim_valid[0].sum()) == 6
+    assert int(ds.prim_sem[0, 5]) == 1
+    assert int(ds.prim_inst[0, 5]) == 0
+    # bottom rows of the image are mostly ground (class 1), not sky
+    bottom = np.asarray(ds.gt_sem[0][-4:])
+    assert (bottom != 0).mean() > 0.8
+    # depth now dense-ish at the bottom (ground hits)
+    assert float((np.asarray(ds.depth[0][-4:]) > 0).mean()) > 0.1

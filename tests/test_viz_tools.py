@@ -1,0 +1,83 @@
+"""Visualizer + tools coverage."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.viz import Visualizer, depth_to_color
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _viz(tmp_path, num_classes=19, dataset="kitti360"):
+    cfg = Config()
+    cfg.result_dir = str(tmp_path)
+    cfg.data.dataset = dataset
+    cfg.model.num_classes = num_classes
+    return cfg, Visualizer(cfg)
+
+
+def test_kitti_palette_colorize(tmp_path):
+    cfg, viz = _viz(tmp_path)
+    sem = np.array([[0, 10, 13]])  # road, sky, car trainIds
+    rgb = viz.colorize_sem(sem)
+    assert rgb[0, 0].tolist() == [128, 64, 128]
+    assert rgb[0, 1].tolist() == [70, 130, 180]
+    assert rgb[0, 2].tolist() == [0, 0, 142]
+
+
+def test_panoptic_tint_distinguishes_instances(tmp_path):
+    cfg, viz = _viz(tmp_path)
+    sem = np.full((2, 2), 13)          # car
+    inst = np.array([[1, 1], [2, 2]])
+    out = viz.colorize_panoptic(sem, inst)
+    assert not np.array_equal(out[0, 0], out[1, 0])  # instances differ
+    assert np.array_equal(out[0, 0], out[0, 1])      # same instance same tint
+
+
+def test_depth_colormap_monotone_channels():
+    d = np.linspace(1, 50, 16).reshape(4, 4)
+    c = depth_to_color(d)
+    assert c.shape == (4, 4, 3)
+    flat_r = c[..., 0].reshape(-1)
+    assert flat_r[-1] >= flat_r[0]  # red rises with depth
+
+
+def test_label_transfer_encoding(tmp_path):
+    from PIL import Image
+
+    cfg, viz = _viz(tmp_path)
+    sem = np.full((4, 6), 13)  # car trainId -> raw id 26
+    inst = np.full((4, 6), 7)
+    files = viz.write_label_transfer(3, sem, inst, (4, 6))
+    enc = np.asarray(Image.open([f for f in files if "labelinst" in f][0]))
+    assert (enc == 26 * 1000 + 7).all()
+    raw = np.asarray(Image.open([f for f in files if "labelsem" in f][0]))
+    assert (raw == 26).all()
+
+
+def test_compute_visible_ids_tool(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_kitti360 import make_fake_kitti
+
+    root = str(tmp_path / "kitti")
+    os.makedirs(root)
+    seq = make_fake_kitti(root)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "compute_visible_ids.py"),
+         "--root", root, "--sequence", seq, "--max-depth", "50"],
+        capture_output=True, text=True, env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    # frame 100: the car (index 0, at z=10 in front of camera) is visible;
+    # the building (index 1) is out of its annotation window at frame 100
+    ids = open(os.path.join(root, "visible_id", seq, "0000000100.txt")).read().split()
+    assert "0" in ids and "1" not in ids
+    # frame 101: building window opens
+    ids = open(os.path.join(root, "visible_id", seq, "0000000101.txt")).read().split()
+    assert "0" in ids and "1" in ids
