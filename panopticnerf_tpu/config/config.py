@@ -52,6 +52,8 @@ class DataConfig:
     # K nearest ray/primitive intersection intervals kept per ray.
     max_primitives: int = 64
     max_intervals: int = 16
+    # Convex cut planes per extruded-polygon primitive (0 = OBB-only).
+    max_cut_planes: int = 8
     # Held-out frames: every `test_every`-th frame goes to the test split.
     test_every: int = 8
     # Streaming (sequences larger than HBM): keep a rotating window of this

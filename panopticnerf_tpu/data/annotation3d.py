@@ -43,6 +43,99 @@ class Bbox3D:
     timestamp: int
     vertices_world: np.ndarray = field(repr=False, default=None)  # (V, 3)
     is_cuboid: bool = True
+    # Convex refinement for extruded polygons: half-spaces n.x <= b in the
+    # primitive's [-1,1]^3 local frame (None for cuboids). See
+    # `convex_cut_planes`.
+    cut_planes: Optional[np.ndarray] = field(repr=False, default=None)  # (F, 4)
+
+
+def _monotone_chain_hull(pts: np.ndarray) -> np.ndarray:
+    """2D convex hull (CCW) via Andrew's monotone chain; pts (M, 2)."""
+    pts = np.unique(np.round(pts, 9), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    cross = lambda o, a, b: (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+    lower, upper = [], []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(tuple(p))
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(tuple(p))
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def convex_cut_planes(local_verts: np.ndarray, max_planes: int) -> Optional[np.ndarray]:
+    """Side planes of an extruded polygon, in the [-1,1]^3 local frame.
+
+    The extrusion axis is the local axis whose vertex coordinates cluster
+    into two rings (fewest distinct values); the cross-section's convex hull
+    provides side half-spaces n.x <= b. If the hull needs more than
+    `max_planes` sides, the least-significant hull vertices (smallest
+    turning area) are dropped — the region only ever GROWS, so the
+    approximation stays conservative. Returns (max_planes, 4) padded with
+    all-pass planes, or None when the shape is effectively a box.
+    """
+    v = np.asarray(local_verts, np.float64)
+
+    def _is_extrusion_axis(a: int) -> bool:
+        """True iff splitting on axis `a`'s two values yields two rings that
+        are identical in the remaining coordinates (a true extrusion)."""
+        vals = np.unique(np.round(v[:, a], 6))
+        if len(vals) != 2:
+            return False
+        oth = [x for x in range(3) if x != a]
+        lo = v[np.round(v[:, a], 6) == vals[0]][:, oth]
+        hi = v[np.round(v[:, a], 6) == vals[1]][:, oth]
+        if len(lo) != len(hi):
+            return False
+        key = lambda r: np.lexsort((r[:, 1], r[:, 0]))
+        return np.allclose(lo[key(lo)], hi[key(hi)], atol=1e-6)
+
+    axis = next((a for a in range(3) if _is_extrusion_axis(a)), None)
+    if axis is None:
+        # Not a clean two-ring extrusion: keep the conservative OBB.
+        return None
+    others = [a for a in range(3) if a != axis]
+    hull = _monotone_chain_hull(v[:, others])
+    if len(hull) < 3:
+        return None  # degenerate cross-section
+    if len(hull) == 4:
+        # Box-like only if the hull IS the axis-aligned bounding rectangle
+        # (then the OBB slab is already exact).
+        lo2, hi2 = hull.min(0), hull.max(0)
+        corners = {(lo2[0], lo2[1]), (lo2[0], hi2[1]), (hi2[0], lo2[1]), (hi2[0], hi2[1])}
+        if all(any(np.allclose(h, c, atol=1e-6) for c in corners) for h in hull):
+            return None
+    # Drop smallest-turn vertices until the side count fits.
+    hull = list(map(np.asarray, hull))
+    while len(hull) > max_planes:
+        m = len(hull)
+        areas = []
+        for i in range(m):
+            a, b, c = hull[i - 1], hull[i], hull[(i + 1) % m]
+            areas.append(abs(np.cross(b - a, c - b)))
+        hull.pop(int(np.argmin(areas)))
+    hull = np.asarray(hull)
+    planes = np.zeros((max_planes, 4), np.float32)
+    planes[:, 3] = 1.0  # all-pass padding: 0.x <= 1
+    m = len(hull)
+    for i in range(m):
+        a, b = hull[i], hull[(i + 1) % m]
+        e = b - a
+        n2 = np.array([e[1], -e[0]])  # outward for a CCW hull
+        norm = np.linalg.norm(n2)
+        if norm < 1e-12:
+            continue
+        n2 /= norm
+        n3 = np.zeros(3)
+        n3[others[0]], n3[others[1]] = n2
+        planes[i, :3] = n3
+        planes[i, 3] = float(n2 @ a)
+    return planes
 
 
 def _parse_matrix(node) -> np.ndarray:
@@ -57,7 +150,7 @@ def _text(node, name, default=None):
     return c.text.strip() if c is not None and c.text is not None else default
 
 
-def parse_bbox_xml(path: str) -> list[Bbox3D]:
+def parse_bbox_xml(path: str, max_cut_planes: int = 8) -> list[Bbox3D]:
     """Parse one sequence's 3D-annotation XML into Bbox3D records."""
     tree = ET.parse(path)
     root = tree.getroot()
@@ -94,6 +187,12 @@ def parse_bbox_xml(path: str) -> list[Bbox3D]:
 
         verts_world = (R @ verts.T).T + T
 
+        is_cuboid = verts.shape[0] <= 10
+        cut = None
+        if not is_cuboid and max_cut_planes > 0:
+            local_template = (verts - mid) * (2.0 / ext)
+            cut = convex_cut_planes(local_template, max_cut_planes)
+
         out.append(
             Bbox3D(
                 index=index,
@@ -106,7 +205,8 @@ def parse_bbox_xml(path: str) -> list[Bbox3D]:
                 dynamic=bool(int(float(_text(child, "dynamic", "0") or 0))),
                 timestamp=int(float(_text(child, "timestamp", "-1") or -1)),
                 vertices_world=verts_world.astype(np.float32),
-                is_cuboid=verts.shape[0] <= 10,
+                is_cuboid=is_cuboid,
+                cut_planes=cut,
             )
         )
     return out

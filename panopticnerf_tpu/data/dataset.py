@@ -47,6 +47,8 @@ class DeviceDataset(NamedTuple):
     bounds_scale: jnp.ndarray   # ()
     gt_sem: Optional[jnp.ndarray] = None   # (V, H, W) int32 eval GT (255 ignore)
     gt_inst: Optional[jnp.ndarray] = None  # (V, H, W) int32 eval GT instances
+    # Convex cut planes for extruded-polygon primitives (None = OBB only):
+    prim_planes: Optional[jnp.ndarray] = None  # (V, P, F, 4) local half-spaces
     # -360 extensions (None for perspective-only datasets):
     cam_model: Optional[jnp.ndarray] = None  # (V,) int32: 0 = perspective, 1 = MEI fisheye
     fisheye: Optional[jnp.ndarray] = None    # (V, 7) [gamma1 gamma2 u0 v0 xi k1 k2]
@@ -139,25 +141,30 @@ def batch_intervals(
         g = views_per_batch
         n = batch.rays_o.shape[0]
         gv = batch.view.reshape(g, n // g)[:, 0]               # (G,) group views
-        prims = Primitives(
-            world_to_prim=ds.prim_w2p[gv],
-            semantic=ds.prim_sem[gv],
-            instance=ds.prim_inst[gv],
-            valid=ds.prim_valid[gv],
-        )
         ro = batch.rays_o.reshape(g, n // g, 3)
         rd = batch.rays_d.reshape(g, n // g, 3)
-        iv = jax.vmap(
-            lambda o, d, A, s, i, v: intersect_rays(
-                o, d, Primitives(A, s, i, v), near, far, k
-            )
-        )(ro, rd, prims.world_to_prim, prims.semantic, prims.instance, prims.valid)
+        planes = ds.prim_planes[gv] if ds.prim_planes is not None else None
+        if planes is not None:
+            iv = jax.vmap(
+                lambda o, d, A, s, i, v, cp: intersect_rays(
+                    o, d, Primitives(A, s, i, v, cp), near, far, k
+                )
+            )(ro, rd, ds.prim_w2p[gv], ds.prim_sem[gv], ds.prim_inst[gv],
+              ds.prim_valid[gv], planes)
+        else:
+            iv = jax.vmap(
+                lambda o, d, A, s, i, v: intersect_rays(
+                    o, d, Primitives(A, s, i, v), near, far, k
+                )
+            )(ro, rd, ds.prim_w2p[gv], ds.prim_sem[gv], ds.prim_inst[gv],
+              ds.prim_valid[gv])
         return RayIntervals(*[x.reshape(n, *x.shape[2:]) for x in iv])
     prims = Primitives(
         world_to_prim=ds.prim_w2p[batch.view],
         semantic=ds.prim_sem[batch.view],
         instance=ds.prim_inst[batch.view],
         valid=ds.prim_valid[batch.view],
+        cut_planes=ds.prim_planes[batch.view] if ds.prim_planes is not None else None,
     )
     return intersect_rays_per_ray(batch.rays_o, batch.rays_d, prims, near, far, k)
 
@@ -184,7 +191,15 @@ def view_primitives(ds: DeviceDataset, view: int) -> Primitives:
         semantic=ds.prim_sem[view],
         instance=ds.prim_inst[view],
         valid=ds.prim_valid[view],
+        cut_planes=ds.prim_planes[view] if ds.prim_planes is not None else None,
     )
+
+
+def _planes_f(parts):
+    for d in parts:
+        if d.prim_planes is not None:
+            return d.prim_planes.shape[2]
+    return 1
 
 
 def concat_datasets(parts: list[DeviceDataset]) -> DeviceDataset:
@@ -235,6 +250,13 @@ def concat_datasets(parts: list[DeviceDataset]) -> DeviceDataset:
         prim_valid=cat("prim_valid"),
         bounds_center=center,
         bounds_scale=scale,
+        prim_planes=cat(
+            "prim_planes",
+            lambda d: jnp.tile(
+                jnp.asarray([0, 0, 0, 1], jnp.float32),
+                (n_views(d), p, _planes_f(parts), 1),
+            ),
+        ) if any(d.prim_planes is not None for d in parts) else None,
         gt_sem=cat("gt_sem", lambda d: jnp.full((n_views(d), h, w), 255, jnp.int32)),
         gt_inst=cat("gt_inst", lambda d: jnp.zeros((n_views(d), h, w), jnp.int32)),
         cam_model=cat("cam_model", lambda d: jnp.zeros((n_views(d),), jnp.int32)),

@@ -255,7 +255,11 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
 
     # --- primitives ---
     xml_path = os.path.join(root, "data_3d_bboxes", "train", f"{seq}.xml")
-    boxes = parse_bbox_xml(xml_path) if os.path.exists(xml_path) else []
+    boxes = (
+        parse_bbox_xml(xml_path, max_cut_planes=dc.max_cut_planes)
+        if os.path.exists(xml_path)
+        else []
+    )
     all_w2p = (
         np.stack([b.world_to_prim for b in boxes])
         if boxes
@@ -268,6 +272,15 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
     else:
         prim_sem_all = raw_sem
     prim_inst_all = np.array([b.instance_id for b in boxes], np.int32)
+    F = max(dc.max_cut_planes, 1)
+    allpass = np.zeros((F, 4), np.float32)
+    allpass[:, 3] = 1.0
+    any_planes = any(b.cut_planes is not None for b in boxes)
+    prim_planes_all = (
+        np.stack([b.cut_planes if b.cut_planes is not None else allpass for b in boxes])
+        if (boxes and any_planes)
+        else None
+    )
     # visibility: by-index lookup table from XML 'index' when present
     index_of = {}
     for i, b in enumerate(boxes):
@@ -293,7 +306,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
 
     # --- per-view assembly (cam0 [+ cam1] [+ fisheye 02/03]) ---
     images, Ks, c2ws, pseudos, depths = [], [], [], [], []
-    pw2p, psem, pinst, pvalid = [], [], [], []
+    pw2p, psem, pinst, pvalid, pplanes = [], [], [], [], []
     gt_sems, gt_insts = [], []
     cam_models, fisheye_ps, valid_masks = [], [], []
     any_gt = False
@@ -313,12 +326,15 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
         sem = np.full((P,), -1, np.int32)
         inst = np.zeros((P,), np.int32)
         val = np.zeros((P,), bool)
+        planes = np.tile(allpass, (P, 1, 1)) if any_planes else None
         if n_vis:
             sel = np.asarray(vis_idx, np.int64)
             w2p[:n_vis] = all_w2p[sel]
             sem[:n_vis] = prim_sem_all[sel]
             inst[:n_vis] = prim_inst_all[sel]
             val[:n_vis] = True
+            if planes is not None:
+                planes[:n_vis] = prim_planes_all[sel]
 
         c2w0 = c2w0_all[frame][:3]
         cams = [("image_00", c2w0)]
@@ -374,6 +390,8 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
             psem.append(sem)
             pinst.append(inst)
             pvalid.append(val)
+            if planes is not None:
+                pplanes.append(planes)
             if cam == "image_00":
                 gs, gi = _load_gt_sem_inst(root, seq, frame, hw)
                 if (gs != IGNORE).any():
@@ -404,6 +422,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
         prim_sem=jnp.asarray(np.stack(psem)),
         prim_inst=jnp.asarray(np.stack(pinst)),
         prim_valid=jnp.asarray(np.stack(pvalid)),
+        prim_planes=jnp.asarray(np.stack(pplanes)) if pplanes else None,
         bounds_center=jnp.asarray(center),
         bounds_scale=jnp.asarray(scale),
         gt_sem=jnp.asarray(np.stack(gt_sems)) if any_gt else None,

@@ -37,7 +37,7 @@ class HostViews:
         """Materialize a device dataset holding only `view_ids` (host slice)."""
         per_view = {
             "images", "K", "c2w", "pseudo", "depth", "prim_w2p", "prim_sem",
-            "prim_inst", "prim_valid", "gt_sem", "gt_inst", "cam_model",
+            "prim_inst", "prim_valid", "prim_planes", "gt_sem", "gt_inst", "cam_model",
             "fisheye", "valid_mask",
         }
         out = {}

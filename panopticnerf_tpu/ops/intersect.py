@@ -27,12 +27,21 @@ BIG = 1e9
 
 
 class Primitives(NamedTuple):
-    """Padded per-frame primitive set (all arrays share leading dim P)."""
+    """Padded per-frame primitive set (all arrays share leading dim P).
+
+    `cut_planes` (optional) refines non-cuboid primitives: F half-spaces
+    n.x <= b in the LOCAL unit-cube frame, intersected with the OBB slab
+    range. Cuboids (or padding) use all-pass planes (n = 0, b = 1). This
+    gives exact intervals for convex extruded polygons — the reference's
+    CPU path intersects polygon meshes exactly; the OBB alone is only the
+    template bounding box.
+    """
 
     world_to_prim: jnp.ndarray  # (P, 3, 4) world -> unit-cube local frame
     semantic: jnp.ndarray       # (P,) int32 class id (taxonomy per config)
     instance: jnp.ndarray       # (P,) int32 instance id (0 = none/stuff)
     valid: jnp.ndarray          # (P,) bool padding mask
+    cut_planes: jnp.ndarray | None = None  # (P, F, 4) [nx ny nz b], local frame
 
 
 class RayIntervals(NamedTuple):
@@ -102,6 +111,26 @@ def ray_box_intervals(
     t_hi = jnp.where(parallel_outside, -BIG, jnp.maximum(t1, t2))
     t_in = jnp.max(t_lo, axis=-1)                              # (N, P)
     t_out = jnp.min(t_hi, axis=-1)
+
+    if prims.cut_planes is not None:
+        # Convex refinement in the local frame: for plane n.x <= b and ray
+        # x(t) = o_l + t d_l, the constraint is a*t <= c with a = n.d_l,
+        # c = b - n.o_l: a > 0 caps t_out, a < 0 raises t_in, a ~ 0 is a
+        # hard miss when c < 0.
+        n = prims.cut_planes[..., :3]                          # (P, F, 3)
+        b = prims.cut_planes[..., 3]                           # (P, F)
+        a = jnp.einsum("pfi,npi->npf", n, d_l)                 # (N, P, F)
+        c = b[None] - jnp.einsum("pfi,npi->npf", n, o_l)       # (N, P, F)
+        eps = 1e-9
+        entering = a < -eps
+        leaving = a > eps
+        safe_a = jnp.where(jnp.abs(a) < eps, eps, a)
+        t_plane = c / safe_a
+        t_in = jnp.maximum(t_in, jnp.max(jnp.where(entering, t_plane, -BIG), -1))
+        t_out = jnp.minimum(t_out, jnp.min(jnp.where(leaving, t_plane, BIG), -1))
+        miss = jnp.any((jnp.abs(a) <= eps) & (c < 0), axis=-1)
+        t_out = jnp.where(miss, -BIG, t_out)
+
     t_in = jnp.maximum(t_in, near)
     t_out = jnp.minimum(t_out, far)
     hit = (t_out > t_in) & prims.valid[None, :]
@@ -176,12 +205,22 @@ def intersect_rays_per_ray(
     batch row was gathered from its source frame's visible-primitive set.
     vmap over the shared-prims kernel keeps one code path.
     """
-    one = lambda o, d, A, s, i, v: ray_box_intervals(
-        o[None], d[None], Primitives(A, s, i, v), near, far
-    )
-    t_in, t_out, hit = jax.vmap(one)(
-        rays_o, rays_d, prims.world_to_prim, prims.semantic, prims.instance, prims.valid
-    )  # each (N, 1, P)
+    if prims.cut_planes is not None:
+        one = lambda o, d, A, s, i, v, cp: ray_box_intervals(
+            o[None], d[None], Primitives(A, s, i, v, cp), near, far
+        )
+        t_in, t_out, hit = jax.vmap(one)(
+            rays_o, rays_d, prims.world_to_prim, prims.semantic,
+            prims.instance, prims.valid, prims.cut_planes,
+        )
+    else:
+        one = lambda o, d, A, s, i, v: ray_box_intervals(
+            o[None], d[None], Primitives(A, s, i, v), near, far
+        )
+        t_in, t_out, hit = jax.vmap(one)(
+            rays_o, rays_d, prims.world_to_prim, prims.semantic,
+            prims.instance, prims.valid,
+        )  # each (N, 1, P)
     t_in, t_out, hit = t_in[:, 0], t_out[:, 0], hit[:, 0]
     # Inline top-k with per-ray label tables.
     p = t_in.shape[-1]

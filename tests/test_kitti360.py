@@ -110,7 +110,13 @@ def make_fake_kitti(root):
     T2 = np.eye(4)
     T2[:3, 3] = [5, 0, 12]
     _mat_xml(obj2, "transform", T2)
-    poly = np.concatenate([cube * 2, cube[:4] * 1.5])  # 12 verts, non-cuboid
+    # true extruded hexagon (two matching rings along y), non-cuboid
+    ang = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+    ring = np.stack([2 * np.cos(ang), 2 * np.sin(ang)], 1)
+    poly = np.concatenate([
+        np.stack([ring[:, 0], np.full(6, -1.0), ring[:, 1]], 1),
+        np.stack([ring[:, 0], np.full(6, 1.0), ring[:, 1]], 1),
+    ])
     _mat_xml(obj2, "vertices", poly)
     _mat_xml(obj2, "faces", np.zeros((8, 4)))
     ET.SubElement(obj2, "label").text = "building"
@@ -198,11 +204,16 @@ def test_xml_parsing_and_affines(fake_root):
     # corner (1, .5, 11.5) -> (1,1,1)
     local = A[:, :3] @ np.array([1.0, 0.5, 11.5]) + A[:, 3]
     np.testing.assert_allclose(local, 1, atol=1e-6)
-    # polygon box: template AABB is [-1,1]^3 (cube*2 on +-0.5 corners) ->
-    # the world-space AABB corner maps to (+1,+1,+1) local
+    # polygon: hexagon ring spans [-2,2] in x, [-sqrt(3),sqrt(3)] in z,
+    # [-1,1] in y -> the template-AABB corner maps to (+1,+1,+1) local
     B = boxes[1].world_to_prim
-    local = B[:, :3] @ (np.array([1.0, 1.0, 1.0]) + [5, 0, 12]) + B[:, 3]
+    corner = np.array([2.0, 1.0, 2 * np.sin(np.pi / 3)]) + [5, 0, 12]
+    local = B[:, :3] @ corner + B[:, 3]
     np.testing.assert_allclose(local, 1, atol=1e-6)
+    # hexagonal cross-section -> convex cut planes extracted (6 active)
+    assert boxes[1].cut_planes is not None
+    active = (np.abs(boxes[1].cut_planes[:, :3]).sum(1) > 0).sum()
+    assert active == 6
 
 
 def test_visibility_window(fake_root):
