@@ -179,6 +179,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # sitecustomize imports jax before this file runs, so the env var alone
+    # doesn't latch — set the cache dir on the live config.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from panopticnerf_tpu.data.synthetic import build_synthetic_dataset
     from panopticnerf_tpu.models import init_params, make_network
     from panopticnerf_tpu.train import make_train_state, make_train_step
