@@ -208,12 +208,28 @@ trunk_train.defvjp(_trunk_fwd_rule, _trunk_bwd_rule)
 
 def fused_trunk_train(x_enc: jnp.ndarray, weights, biases,
                       skips: tuple[int, ...], tile: int = 512,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Differentiable fused trunk from per-layer weight/bias lists."""
+                      interpret: bool = False,
+                      chunk: int = 131_072) -> jnp.ndarray:
+    """Differentiable fused trunk from per-layer weight/bias lists.
+
+    Very large point counts are split into `chunk`-point lax.map segments:
+    an XLA regalloc bug (jellyfish lsrav2 RET_CHECK) rejects single huge
+    programs around the custom call; chunking also keeps scheduler pressure
+    flat. Each segment still runs the full VMEM-resident kernel.
+    """
     f = x_enc.shape[-1]
     width = weights[-1].shape[-1]
     wp, bp, (f_pad, w_pad, in_max) = pack_trunk(weights, biases, tuple(skips), f,
                                                 dtype=x_enc.dtype)
-    return trunk_train(x_enc, wp, bp, tuple(skips), (f, f_pad, w_pad, width),
-                       tile, interpret)
+    dims = (f, f_pad, w_pad, width)
+    n = x_enc.shape[0]
+    if n <= chunk:
+        return trunk_train(x_enc, wp, bp, tuple(skips), dims, tile, interpret)
+    n_pad = _round_up(n, chunk)
+    x_p = jnp.zeros((n_pad, f), x_enc.dtype).at[:n].set(x_enc)
+    out = jax.lax.map(
+        lambda xc: trunk_train(xc, wp, bp, tuple(skips), dims, tile, interpret),
+        x_p.reshape(-1, chunk, f),
+    )
+    return out.reshape(n_pad, width)[:n]
 

@@ -77,3 +77,23 @@ def test_grad_under_jit_with_padding():
     ref = jax.grad(lambda ws: jnp.sum(_ref_trunk(x, ws, bs, skips)))(ws)
     for a, b in zip(gw, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_chunked_large_batch_matches():
+    """lax.map chunking for huge point counts preserves values and grads."""
+    rng = np.random.default_rng(3)
+    skips = (1,)
+    ws, bs = _stack(rng, 16, 128, 3, skips)
+    x = jnp.asarray(rng.normal(size=(530, 16)), jnp.float32)
+
+    out_chunked = fused_trunk_train(x, ws, bs, skips, tile=64, interpret=True, chunk=256)
+    out_single = fused_trunk_train(x, ws, bs, skips, tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_chunked), np.asarray(out_single),
+                               rtol=1e-5, atol=1e-5)
+
+    g_c = jax.grad(lambda ws: jnp.sum(
+        fused_trunk_train(x, ws, bs, skips, tile=64, interpret=True, chunk=256)))(ws)
+    g_s = jax.grad(lambda ws: jnp.sum(
+        fused_trunk_train(x, ws, bs, skips, tile=64, interpret=True)))(ws)
+    for a, b in zip(g_c, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
