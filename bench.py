@@ -210,6 +210,26 @@ def main():
     float(stats["loss_total"])  # drain queue
     fused_rps = cfg.data.n_rays * iters / (time.time() - t0)
 
+    # ---------- full-image render FPS (the second headline metric) ----------
+    from panopticnerf_tpu.data.dataset import view_primitives, view_rays
+    from panopticnerf_tpu.ops import intersect_rays
+    from panopticnerf_tpu.render import SceneBounds, render_image_rays
+
+    o, d = view_rays(ds, 0)
+    iv = intersect_rays(o, d, view_primitives(ds, 0), cfg.render.near,
+                        cfg.render.far, cfg.data.max_intervals)
+    bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+    render = jax.jit(lambda p: render_image_rays(model, p, o, d, bounds, cfg, iv=iv))
+    out = render(s.params)
+    float(out.rgb[0, 0])
+    r_iters = 5 if FAST else 30
+    t0 = time.time()
+    for _ in range(r_iters):
+        out = render(s.params)
+    float(out.rgb[0, 0])
+    render_fps = r_iters / (time.time() - t0)
+    h, w = cfg.data.synthetic_image_hw
+
     # ---------- eager-equivalent baseline ----------
     ds_host = (
         np.asarray(ds.images), np.asarray(ds.K[0]), np.asarray(ds.c2w),
@@ -230,6 +250,8 @@ def main():
         "platform": platform,
         "rays_per_batch": cfg.data.n_rays,
         "samples_per_ray": cfg.render.n_samples,
+        "render_fps": round(render_fps, 2),
+        "render_image_hw": [h, w],
     }))
 
 
