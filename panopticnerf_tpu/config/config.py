@@ -68,6 +68,9 @@ class DataConfig:
     # Add a large flat ground primitive (class 1) under the boxes — exercises
     # big thin "stuff" primitives like KITTI-360 roads/terrain.
     synthetic_ground: bool = False
+    # Also emit one MEI-fisheye view per frame (exercises the -360 path
+    # end-to-end with exact fisheye GT).
+    synthetic_fisheye: bool = False
 
 
 @dataclass

@@ -66,6 +66,24 @@ def _raycast(o, d, centers, half, rots, near, far):
     return t_best, idx, face
 
 
+def _mei_unproject_np(uv: np.ndarray, fp: np.ndarray, iters: int = 10) -> np.ndarray:
+    """Numpy MEI unprojection (mirror of ops.rays.pixel_dirs_fisheye) for
+    generating synthetic fisheye GT without touching the jnp code under test."""
+    g1, g2, u0, v0, xi, k1, k2 = [float(x) for x in fp]
+    xd = (uv[:, 0] - u0) / g1
+    yd = (uv[:, 1] - v0) / g2
+    x, y = xd.copy(), yd.copy()
+    for _ in range(iters):
+        r2 = x * x + y * y
+        s = 1.0 + k1 * r2 + k2 * r2 * r2
+        x, y = xd / s, yd / s
+    r2 = x * x + y * y
+    disc = np.maximum(1.0 + (1.0 - xi * xi) * r2, 0.0)
+    factor = (xi + np.sqrt(disc)) / (1.0 + r2)
+    X = np.stack([factor * x, factor * y, factor - xi], 1)
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
 def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
     import jax.numpy as jnp
 
@@ -120,15 +138,41 @@ def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
     y = (uv[:, 1] - K[1, 2]) / K[1, 1]
     dirs_cam = np.stack([x, y, np.ones_like(x)], axis=1)
 
-    images = np.zeros((n_frames, h, w, 3), np.uint8)
-    gt_sem = np.full((n_frames, h, w), SKY_CLASS, np.int32)
-    gt_inst = np.zeros((n_frames, h, w), np.int32)
-    depth = np.zeros((n_frames, h, w), np.float32)
+    # per-view camera descriptors: every frame gets a perspective view and,
+    # with synthetic_fisheye, an additional MEI-fisheye view of the same pose
+    fp = np.array([0.9 * w, 0.9 * h, w / 2, h / 2, 2.0, 0.01, -0.002], np.float32)
+    view_frames, view_models = [], []
+    for f in range(n_frames):
+        view_frames.append(f)
+        view_models.append(0)
+        if dc.synthetic_fisheye:
+            view_frames.append(f)
+            view_models.append(1)
+    n_views = len(view_frames)
+
+    fe_dirs = _mei_unproject_np(uv, fp) if dc.synthetic_fisheye else None
+    if dc.synthetic_fisheye:
+        r2 = ((uv[:, 0] - fp[2]) / fp[0]) ** 2 + ((uv[:, 1] - fp[3]) / fp[1]) ** 2
+        # conservative in-FOV mask via the unprojection discriminant
+        xd = (uv[:, 0] - fp[2]) / fp[0]
+        yd = (uv[:, 1] - fp[3]) / fp[1]
+        x_u, y_u = xd.copy(), yd.copy()
+        for _ in range(10):
+            rr = x_u * x_u + y_u * y_u
+            s_ = 1.0 + fp[5] * rr + fp[6] * rr * rr
+            x_u, y_u = xd / s_, yd / s_
+        fe_valid = (1.0 + (1.0 - fp[4] ** 2) * (x_u ** 2 + y_u ** 2)) > 1e-4
+    images = np.zeros((n_views, h, w, 3), np.uint8)
+    gt_sem = np.full((n_views, h, w), SKY_CLASS, np.int32)
+    gt_inst = np.zeros((n_views, h, w), np.int32)
+    depth = np.zeros((n_views, h, w), np.float32)
+    valid_masks = np.ones((n_views, h, w), bool)
     near, far = 0.1, 40.0
     shade = np.array([1.0, 0.75, 0.55])  # per-face-axis lambertian-ish factor
-    for f in range(n_frames):
+    for vi_, (f, cam_m) in enumerate(zip(view_frames, view_models)):
         R, t = c2w[f, :, :3], c2w[f, :, 3]
-        d = dirs_cam @ R.T
+        base_dirs = dirs_cam if cam_m == 0 else fe_dirs
+        d = base_dirs @ R.T
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         o = np.broadcast_to(t, d.shape)
         t_hit, idx, face = _raycast(o, d, centers, half, rots, near, far)
@@ -139,15 +183,20 @@ def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
         ], axis=1)
         col = sky.copy()
         col[hit] = palette[idx[hit]] * shade[face[hit]][:, None]
-        images[f] = (col.reshape(h, w, 3).clip(0, 1) * 255).astype(np.uint8)
-        gt_sem[f] = np.where(hit, classes[np.clip(idx, 0, None)], SKY_CLASS).reshape(h, w)
-        gt_inst[f] = np.where(hit, instances[np.clip(idx, 0, None)], 0).reshape(h, w)
-        depth[f] = np.where(hit, t_hit, 0.0).reshape(h, w).astype(np.float32)
+        images[vi_] = (col.reshape(h, w, 3).clip(0, 1) * 255).astype(np.uint8)
+        gt_sem[vi_] = np.where(hit, classes[np.clip(idx, 0, None)], SKY_CLASS).reshape(h, w)
+        gt_inst[vi_] = np.where(hit, instances[np.clip(idx, 0, None)], 0).reshape(h, w)
+        depth[vi_] = np.where(hit, t_hit, 0.0).reshape(h, w).astype(np.float32)
+        if cam_m == 1:
+            valid_masks[vi_] = fe_valid.reshape(h, w)
+            gt_sem[vi_][~valid_masks[vi_]] = IGNORE
+            depth[vi_][~valid_masks[vi_]] = 0.0
 
     # --- pseudo-labels: GT + noise ---
     pseudo = gt_sem.copy()
     flip = rng.uniform(size=pseudo.shape) < 0.07
     pseudo[flip] = rng.integers(0, num_classes, size=int(flip.sum()))
+    pseudo[~valid_masks] = IGNORE
     # sparse depth: keep ~25% of pixels (emulates SGM holes)
     keep = rng.uniform(size=depth.shape) < 0.25
     depth = np.where(keep, depth, 0.0)
@@ -167,11 +216,12 @@ def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
     center = np.array([0.0, 0.0, 8.0], np.float32)
     scale = np.float32(1.0 / 20.0)
 
-    tile = lambda a: jnp.asarray(np.broadcast_to(a[None], (n_frames,) + a.shape).copy())
+    tile = lambda a: jnp.asarray(np.broadcast_to(a[None], (n_views,) + a.shape).copy())
+    fisheye_on = dc.synthetic_fisheye
     return DeviceDataset(
         images=jnp.asarray(images),
         K=tile(K),
-        c2w=jnp.asarray(c2w),
+        c2w=jnp.asarray(c2w[np.asarray(view_frames)]),
         pseudo=jnp.asarray(pseudo),
         depth=jnp.asarray(depth),
         prim_w2p=tile(w2p_pad),
@@ -182,4 +232,8 @@ def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
         bounds_scale=jnp.asarray(scale),
         gt_sem=jnp.asarray(gt_sem),
         gt_inst=jnp.asarray(gt_inst),
+        cam_model=jnp.asarray(np.asarray(view_models, np.int32)) if fisheye_on else None,
+        fisheye=(jnp.asarray(np.broadcast_to(fp[None], (n_views, 7)).copy())
+                 if fisheye_on else None),
+        valid_mask=jnp.asarray(valid_masks) if fisheye_on else None,
     )
