@@ -113,6 +113,10 @@ class RenderConfig:
     # Full-image eval rendering: rays per on-device tile (lax.map over tiles
     # inside one jit — replaces the reference's Python cfg.chunk loop).
     ray_tile: int = 4096
+    # Use the fused Pallas slab+top-K kernel for per-view intersection on the
+    # render/eval path (3.9x the XLA chain on v5e at 33k rays; falls back to
+    # XLA automatically when convex cut planes are present).
+    use_pallas_intersect: bool = False
     raw_noise_std: float = 0.0
 
 

@@ -48,8 +48,17 @@ def _render_view(cfg: Config, model, params, ds, view: int):
     iv = None
     if cfg.render.use_primitives:
         prims = view_primitives(ds, view)
-        iv = intersect_rays(o, d, prims, cfg.render.near, cfg.render.far,
-                            cfg.data.max_intervals)
+        if cfg.render.use_pallas_intersect and prims.cut_planes is None:
+            from panopticnerf_tpu.ops.pallas_intersect import intersect_rays_pallas
+
+            iv = intersect_rays_pallas(
+                o, d, prims, cfg.render.near, cfg.render.far,
+                cfg.data.max_intervals,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            iv = intersect_rays(o, d, prims, cfg.render.near, cfg.render.far,
+                                cfg.data.max_intervals)
     bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
     return render_image_rays(model, params, o, d, bounds, cfg, iv=iv)
 
