@@ -88,8 +88,10 @@ class ModelConfig:
     use_viewdirs: bool = True
     # TPU compute dtype for the MLP matmuls (params stay f32).
     compute_dtype: str = "bfloat16"
-    # Inference/render path: route the trunk through the fused Pallas kernel
-    # (weights pinned in VMEM). Training always uses the XLA autodiff path.
+    # Route the MLP trunk through the fused Pallas kernel (weights pinned in
+    # VMEM) on BOTH paths: eval/render uses the forward kernel, and training
+    # uses the fused custom-VJP kernel (resolve_train_model ->
+    # PallasTrainAdapter), replacing XLA autodiff for the trunk.
     use_pallas: bool = False
 
 

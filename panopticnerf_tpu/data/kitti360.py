@@ -281,11 +281,18 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
         if (boxes and any_planes)
         else None
     )
-    # visibility: by-index lookup table from XML 'index' when present
-    index_of = {}
+    # visibility: by-index lookup tables. One XML annotation can map to
+    # several records (concave decomposition), so a visible id resolves to
+    # ALL of its pieces. `index_of` keys on the XML 'index' node when
+    # present; `ordinal_of` keys on file position (for visible-id files
+    # that index annotations positionally).
+    index_of: dict[int, list[int]] = {}
+    ordinal_of: dict[int, list[int]] = {}
     for i, b in enumerate(boxes):
         if b.index >= 0:
-            index_of[b.index] = i
+            index_of.setdefault(b.index, []).append(i)
+        if b.ordinal >= 0:
+            ordinal_of.setdefault(b.ordinal, []).append(i)
 
     visible_dir = os.path.join(root, "visible_id", seq)
     P = dc.max_primitives
@@ -315,9 +322,9 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
     for frame in frames:
         vis = load_visible_ids(visible_dir, frame)
         if vis is not None and len(index_of):
-            vis_idx = [index_of[v] for v in vis.tolist() if v in index_of]
-        elif vis is not None and not index_of:
-            vis_idx = [v for v in vis.tolist() if 0 <= v < len(boxes)]
+            vis_idx = [i for v in vis.tolist() for i in index_of.get(v, [])]
+        elif vis is not None:
+            vis_idx = [i for v in vis.tolist() for i in ordinal_of.get(v, [])]
         else:
             vis_idx = boxes_visible_in_frame(boxes, frame)
         vis_idx = vis_idx[:P]

@@ -1,10 +1,9 @@
-from panopticnerf_tpu.parallel.distributed import host_fold_key, maybe_init_distributed
+from panopticnerf_tpu.parallel.distributed import maybe_init_distributed
 from panopticnerf_tpu.parallel.mesh import make_mesh, ray_sharded, replicated
 from panopticnerf_tpu.parallel.render import render_image_rays_sharded
 from panopticnerf_tpu.parallel.step import make_parallel_train_step
 
 __all__ = [
-    "host_fold_key",
     "make_mesh",
     "make_parallel_train_step",
     "maybe_init_distributed",

@@ -5,9 +5,11 @@ Single-host runs need nothing. On a multi-host TPU slice, call
 DCN control plane; ICI collectives inside the jitted step need no further
 setup (GSPMD lowers them from the mesh shardings).
 
-Host-local data: each host feeds the same on-device sampling step; the PRNG
-key is folded with the process index so hosts draw disjoint ray batches
-(the per-host shard of the global batch).
+SPMD contract: `make_parallel_train_step` declares key/dataset/view_ids with
+replicated in_shardings, so every process MUST feed identical values — the
+on-device sampler already shards the one global batch via GSPMD. Do NOT fold
+per-host state into the key passed to the parallel step (divergent values in
+replicated inputs silently corrupt multi-host training).
 """
 
 from __future__ import annotations
@@ -34,8 +36,3 @@ def maybe_init_distributed() -> bool:
         )
         return jax.process_count() > 1
     return False
-
-
-def host_fold_key(key: jax.Array) -> jax.Array:
-    """Per-host PRNG stream: hosts sample disjoint ray batches."""
-    return jax.random.fold_in(key, jax.process_index())

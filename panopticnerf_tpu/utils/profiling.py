@@ -24,16 +24,36 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def _sync(out) -> None:
+    """True device sync: read one value back to the host.
+
+    `jax.block_until_ready` returns early through the axon relay (see
+    CLAUDE.md); a host readback of any leaf is the only reliable barrier,
+    and is what bench.py uses. Costs one RTT (~35 ms through the relay).
+    """
+    import numpy as np
+
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+    if leaves:
+        np.asarray(leaves[0]).ravel()[:1]
+    else:
+        jax.block_until_ready(out)
+
+
 def timed(fn, *args, iters: int = 10, warmup: int = 1, **kw):
-    """Wall-time a jitted callable with device sync; returns sec/call."""
+    """Wall-time a jitted callable; returns sec/call.
+
+    Syncs via value readback (not block_until_ready) so timings are valid
+    through the axon relay — matching bench.py's protocol.
+    """
     out = None
     for _ in range(warmup):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.time() - t0) / iters
 
 
