@@ -136,6 +136,12 @@ class LossConfig:
     # composited fixed-field mass on that class exceeds weight_th.
     pseudo_filter: bool = True
     weight_th: float = 0.05
+    # Whether the consistency filter ALSO masks the fixed-field 2D CE
+    # (fix2d). The papers describe filtering the *learned*-field supervision;
+    # the geometry-shaping fixed-field CE is left unfiltered by default.
+    # This is a reconstruction choice (reference snapshot has no code) —
+    # ablate with `loss.filter_fix2d True`.
+    filter_fix2d: bool = False
     # Panoptic fusion at eval: blend of learned softmax vs normalized fixed
     # field before the argmax (0 = learned only, 1 = fixed only).
     eval_fixed_blend: float = 0.5

@@ -12,7 +12,25 @@ from panopticnerf_tpu.data.dataset import (
 
 def make_dataset(cfg):
     """Factory mirroring the reference's make_dataset ([pn]
-    lib/datasets/make_dataset.py): returns (DeviceDataset, train_ids, test_ids)."""
+    lib/datasets/make_dataset.py): returns (DeviceDataset, train_ids, test_ids).
+
+    When streaming is enabled (data.stream_window > 0) the dataset is built
+    HOST-resident (CPU backend): only the rotating window — uploaded by
+    ViewWindowStreamer — plus eval views transferred on demand ever occupy
+    HBM, so streaming actually reduces peak device memory.
+    """
+    import contextlib
+
+    import jax
+
+    build_ctx = contextlib.nullcontext()
+    if cfg.data.stream_window > 0:
+        build_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    with build_ctx:
+        return _make_dataset(cfg)
+
+
+def _make_dataset(cfg):
     import numpy as np
 
     if cfg.data.dataset == "synthetic":

@@ -84,6 +84,8 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
 
     # Optional streaming: keep a rotating window of views in HBM
     # (data.stream_window > 0) for sequences larger than device memory.
+    # make_dataset built `ds` HOST-resident in this mode, so peak HBM is
+    # the train window plus a small eval window of the test views.
     streamer = None
     eval_ds = ds
     if cfg.data.stream_window > 0:
@@ -95,6 +97,8 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
         )
         ds, _ = streamer.current()
         train_ids = np.arange(cfg.data.stream_window)
+        eval_ds = host.window(np.asarray(test_ids))
+        test_ids = np.arange(len(test_ids))
     recorder = Recorder(cfg.record_path)
     ckpt_dir = cfg.trained_model_dir
 

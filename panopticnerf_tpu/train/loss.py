@@ -105,9 +105,15 @@ def compute_losses(
 
         # fixed-field 2D CE — only where the ray actually crosses primitives
         # (this is the geometry-shaping loss: gradients flow into density).
+        # The consistency filter applies here only when loss.filter_fix2d is
+        # set; by default only the learned-field supervision is filtered
+        # (the papers' description — see LossConfig.filter_fix2d).
         if lc.fix2d_weight > 0:
             ce_fix = cross_entropy_probs(fixed_map, batch.pseudo)
-            l_fix = _masked_mean(ce_fix, has_pseudo & ray_has_prims & keep)
+            fix_keep = has_pseudo & ray_has_prims
+            if lc.filter_fix2d:
+                fix_keep = fix_keep & keep
+            l_fix = _masked_mean(ce_fix, fix_keep)
             stats["loss_sem_fix2d"] = l_fix
             total = total + sem_scale * lc.fix2d_weight * l_fix
     else:

@@ -134,13 +134,18 @@ def make_fake_kitti(root):
     with open(f"{root}/visible_id/{seq}/{102:010d}.txt", "w") as f:
         f.write("0\n")  # only the car
 
-    # pspnet pseudo-labels (raw ids): road everywhere, car square
-    for cam in ("image_00", "image_01"):
+    # pspnet pseudo-labels (raw ids): road everywhere, car square.
+    # image_02 (fisheye) gets vegetation everywhere so the -360 pseudo-label
+    # branch is distinguishable from the perspective cams.
+    for cam in ("image_00", "image_01", "image_02"):
         d = f"{root}/pspnet/{seq}/{cam}"
         os.makedirs(d, exist_ok=True)
         for fr in FRAMES:
-            lab = np.full((H, W), 7, np.int32)  # road
-            lab[5:10, 5:10] = 26                # car
+            if cam == "image_02":
+                lab = np.full((H, W), 21, np.int32)  # vegetation
+            else:
+                lab = np.full((H, W), 7, np.int32)   # road
+                lab[5:10, 5:10] = 26                 # car
             np.save(f"{d}/{fr:010d}.npy", lab)
 
     # sgm depth: plane at 10m for half the image
@@ -313,6 +318,43 @@ def test_fisheye_batch_rays_unit_and_valid(fake_root):
     assert float(jnp.abs(jnp.linalg.norm(batch.rays_d, axis=-1) - 1).max()) < 1e-4
     # some rays are outside the fisheye FOV circle
     assert bool((~np.asarray(batch.valid)).any())
+
+
+def test_fisheye_pseudo_labels_and_train_step(fake_root):
+    """The -360 branch end-to-end on the fixture tree: fisheye views carry
+    their own pspnet pseudo-labels (remapped to trainIds) and the joint
+    perspective+fisheye dataset supports a full training step."""
+    import jax
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.data.labels import ids_to_trainids
+    from panopticnerf_tpu.models import init_params, make_network
+    from panopticnerf_tpu.train import make_train_state, make_train_step
+
+    cfg = _cfg(fake_root, use_fisheye=True, use_depth=False)
+    cfg.data.n_rays = 64
+    cfg.render.n_samples = 4
+    cfg.render.near = 0.5
+    cfg.render.far = 40.0
+    cfg.render.use_primitives = True
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 16
+    cfg.model.color_width = 8
+    cfg.model.compute_dtype = "float32"
+    ds = build_kitti360_dataset(cfg)
+
+    # fisheye views (index 2, 5, 8) got the vegetation pseudo-label map,
+    # remapped raw id 21 -> trainId
+    veg_train = int(ids_to_trainids(np.array([21]))[0])
+    assert int(ds.pseudo[2, 0, 0]) == veg_train
+    assert int(ds.pseudo[0, 0, 0]) != veg_train  # perspective kept road
+
+    model = make_network(cfg)
+    state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+    step = make_train_step(cfg, model, donate=False)
+    state2, stats = step(state, ds, jnp.asarray([2, 5, 8]), jax.random.key(1))
+    assert np.isfinite(float(stats["loss_total"]))
+    assert int(state2.step) == 1
 
 
 def test_panorama_rays_cover_sphere():

@@ -109,6 +109,38 @@ def test_pseudo_filter_off_keeps_everything():
     assert float(stats["filter_keep_frac"]) * 2 == pytest.approx(1.0)
 
 
+def test_filter_fix2d_ablation():
+    """loss.filter_fix2d toggles whether the consistency filter also masks
+    the fixed-field CE. Default (False): fix2d averages over ALL
+    primitive-crossing pixels; True: inconsistent pixels are dropped from
+    fix2d too. Both settings must produce finite, trainable losses."""
+    base = dict(pseudo_filter=True, weight_th=0.3, sem2d_weight=0.0,
+                fix2d_weight=1.0, sem3d_weight=0.0, depth_weight=0.0,
+                rgb_weight=0.0)
+    n = 2
+    # ray 0: fixed mass on class 1, pseudo 1 -> consistent
+    # ray 1: fixed mass on class 1, pseudo 2 -> INconsistent
+    sem_fixed = jnp.asarray([
+        [0.0, 0.9, 0.0, 0.0],
+        [0.0, 0.9, 0.0, 0.0],
+    ])
+    out = _out(n, sem_fixed=sem_fixed)
+    batch = _batch(n, [1, 2])
+
+    cfg_off = _cfg(filter_fix2d=False, **base)
+    loss_off, stats_off = compute_losses(out, batch, cfg_off)
+    cfg_on = _cfg(filter_fix2d=True, **base)
+    loss_on, stats_on = compute_losses(out, batch, cfg_on)
+
+    ce = cross_entropy_probs(sem_fixed, jnp.asarray([1, 2]))
+    # unfiltered: mean over both pixels; filtered: only the consistent one
+    assert float(stats_off["loss_sem_fix2d"]) == pytest.approx(
+        (float(ce[0]) + float(ce[1])) / 2, rel=1e-5)
+    assert float(stats_on["loss_sem_fix2d"]) == pytest.approx(float(ce[0]), rel=1e-5)
+    assert np.isfinite(float(loss_off)) and np.isfinite(float(loss_on))
+    assert float(loss_on) < float(loss_off)  # dropped pixel had the high CE
+
+
 def test_invalid_rays_excluded_everywhere():
     cfg = _cfg(sem2d_weight=1.0, fix2d_weight=0.0, sem3d_weight=0.0,
                depth_weight=1.0, rgb_weight=1.0, pseudo_filter=False)
