@@ -58,6 +58,11 @@ def flagship_cfg():
     cfg.render.near = 0.5
     cfg.render.far = 40.0
     cfg.render.use_primitives = True
+    # Both fused kernels win at the flagship shape on v5e (tools/ab_kernels:
+    # XLA-only 24.5 ms -> both-Pallas 21.2 ms) and are on in the flagship
+    # YAML config; bench measures the shipped configuration.
+    cfg.model.use_pallas = True
+    cfg.render.use_pallas_intersect = True
     cfg.train.lr = 5e-4
     if TINY:
         cfg.data.synthetic_image_hw = (24, 32)

@@ -129,13 +129,16 @@ def _pixel_dirs(ds: DeviceDataset, vi: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndar
 
 def batch_intervals(
     ds: DeviceDataset, batch: RayBatch, near: float, far: float, k: int,
-    views_per_batch: int = 0,
+    views_per_batch: int = 0, use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Intersect a ray batch against each ray's source-view primitive set.
 
     Grouped batches (views_per_batch = G > 0, see sample_ray_batch) gather
     primitive tables once per GROUP of n//G rays instead of once per ray —
-    G small gathers + a vmap over G replaces N large gathers.
+    G small gathers + a vmap over G replaces N large gathers. With
+    `use_pallas`, the grouped path runs the fused slab+top-K kernel
+    (ops.pallas_intersect, cut planes handled in-kernel).
     """
     if views_per_batch > 0:
         g = views_per_batch
@@ -144,20 +147,30 @@ def batch_intervals(
         ro = batch.rays_o.reshape(g, n // g, 3)
         rd = batch.rays_d.reshape(g, n // g, 3)
         planes = ds.prim_planes[gv] if ds.prim_planes is not None else None
-        if planes is not None:
+        gprims = Primitives(
+            world_to_prim=ds.prim_w2p[gv], semantic=ds.prim_sem[gv],
+            instance=ds.prim_inst[gv], valid=ds.prim_valid[gv],
+            cut_planes=planes,
+        )
+        if use_pallas:
+            from panopticnerf_tpu.ops.pallas_intersect import intersect_groups_pallas
+
+            iv = intersect_groups_pallas(ro, rd, gprims, near, far, k,
+                                         interpret=pallas_interpret)
+        elif planes is not None:
             iv = jax.vmap(
                 lambda o, d, A, s, i, v, cp: intersect_rays(
                     o, d, Primitives(A, s, i, v, cp), near, far, k
                 )
-            )(ro, rd, ds.prim_w2p[gv], ds.prim_sem[gv], ds.prim_inst[gv],
-              ds.prim_valid[gv], planes)
+            )(ro, rd, gprims.world_to_prim, gprims.semantic, gprims.instance,
+              gprims.valid, planes)
         else:
             iv = jax.vmap(
                 lambda o, d, A, s, i, v: intersect_rays(
                     o, d, Primitives(A, s, i, v), near, far, k
                 )
-            )(ro, rd, ds.prim_w2p[gv], ds.prim_sem[gv], ds.prim_inst[gv],
-              ds.prim_valid[gv])
+            )(ro, rd, gprims.world_to_prim, gprims.semantic, gprims.instance,
+              gprims.valid)
         return RayIntervals(*[x.reshape(n, *x.shape[2:]) for x in iv])
     prims = Primitives(
         world_to_prim=ds.prim_w2p[batch.view],

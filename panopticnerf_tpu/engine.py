@@ -48,7 +48,7 @@ def _render_view(cfg: Config, model, params, ds, view: int):
     iv = None
     if cfg.render.use_primitives:
         prims = view_primitives(ds, view)
-        if cfg.render.use_pallas_intersect and prims.cut_planes is None:
+        if cfg.render.use_pallas_intersect:
             from panopticnerf_tpu.ops.pallas_intersect import intersect_rays_pallas
 
             iv = intersect_rays_pallas(

@@ -14,8 +14,11 @@ gathers. Design notes:
   int32 outside (exact for |id| < 2^24).
 
 Supports the shared-primitive-set path (one prim table for all rays, i.e.
-per-view intersection / eval rendering). Cut planes are not handled here
-(fall back to the XLA path when present).
+per-view intersection / eval rendering) and — via vmap over view groups —
+the grouped train path (see intersect_groups_pallas). Convex cut planes are
+folded into the same pass: each primitive row carries up to F half-spaces
+[n | b] after its affine+labels, and the slab range is refined in-kernel
+exactly as in ops.intersect.ray_box_intervals.
 """
 
 from __future__ import annotations
@@ -35,10 +38,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(rays_ref, prim_ref, meta_ref, tin_ref, tout_ref, sem_ref, inst_ref,
-            *, p: int, k: int, near: float, far: float):
+            *, p: int, k: int, near: float, far: float, f: int = 0):
     """rays_ref (T, 128): [ox oy oz dx dy dz ...pad]; prim_ref (P_pad, 128):
-    rows [A(12) | valid | sem | inst | ...pad]; meta unused (reserved).
-    Outputs (T, K_pad)."""
+    rows [A(12) | valid | sem | inst | planes(F*4) ...pad]; meta unused
+    (reserved). Outputs (T, K_pad). f = number of cut planes per row (0 =
+    OBB only); padding planes are all-pass [0 0 0 1]."""
     t = rays_ref.shape[0]
     o = rays_ref[:, 0:3]                                     # (T, 3)
     d = rays_ref[:, 3:6]
@@ -51,11 +55,14 @@ def _kernel(rays_ref, prim_ref, meta_ref, tin_ref, tout_ref, sem_ref, inst_ref,
     # local coords per (ray, prim): o_l[t,p,i] = A[p, 4i:4i+3] . o[t] + A[p, 4i+3]
     t_lo = jnp.full((t, p), -BIG, jnp.float32)
     t_hi = jnp.full((t, p), BIG, jnp.float32)
+    o_ls, d_ls = [], []
     for i in range(3):
         r0, r1, r2, tr = A[:, 4 * i], A[:, 4 * i + 1], A[:, 4 * i + 2], A[:, 4 * i + 3]
         o_l = (o[:, 0:1] * r0[None] + o[:, 1:2] * r1[None]
                + o[:, 2:3] * r2[None] + tr[None])            # (T, P)
         d_l = (d[:, 0:1] * r0[None] + d[:, 1:2] * r1[None] + d[:, 2:3] * r2[None])
+        o_ls.append(o_l)
+        d_ls.append(d_l)
         par = jnp.abs(d_l) < 1e-9
         safe = jnp.where(par, jnp.where(d_l >= 0, 1e-9, -1e-9), d_l)
         inv = 1.0 / safe
@@ -66,6 +73,28 @@ def _kernel(rays_ref, prim_ref, meta_ref, tin_ref, tout_ref, sem_ref, inst_ref,
         hi = jnp.where(par_out, -BIG, jnp.maximum(t1, t2))
         t_lo = jnp.maximum(t_lo, lo)
         t_hi = jnp.minimum(t_hi, hi)
+
+    if f > 0:
+        # Convex half-space refinement (same math as the XLA path): for
+        # plane n.x <= b along x(s) = o_l + s d_l, the constraint a*s <= c
+        # with a = n.d_l, c = b - n.o_l caps t_hi (a > 0), raises t_lo
+        # (a < 0), or is a hard miss (a ~ 0 and c < 0).
+        eps = 1e-9
+        for ff in range(f):
+            base = 15 + 4 * ff
+            n0 = prim_ref[:p, base]
+            n1 = prim_ref[:p, base + 1]
+            n2 = prim_ref[:p, base + 2]
+            b = prim_ref[:p, base + 3]
+            a = (n0[None] * d_ls[0] + n1[None] * d_ls[1] + n2[None] * d_ls[2])
+            c = b[None] - (n0[None] * o_ls[0] + n1[None] * o_ls[1] + n2[None] * o_ls[2])
+            entering = a < -eps
+            leaving = a > eps
+            safe_a = jnp.where(jnp.abs(a) < eps, eps, a)
+            t_plane = c / safe_a
+            t_lo = jnp.maximum(t_lo, jnp.where(entering, t_plane, -BIG))
+            t_hi = jnp.minimum(t_hi, jnp.where(leaving, t_plane, BIG))
+            t_hi = jnp.where((jnp.abs(a) <= eps) & (c < 0), -BIG, t_hi)
 
     t_in = jnp.maximum(t_lo, near)
     t_out = jnp.minimum(t_hi, far)
@@ -89,6 +118,23 @@ def _kernel(rays_ref, prim_ref, meta_ref, tin_ref, tout_ref, sem_ref, inst_ref,
         work = jnp.where(sel, BIG, work)                      # remove selected
 
 
+def _pack_prim_rows(prims: Primitives) -> tuple[jnp.ndarray, int]:
+    """(P_pad, 128) rows [A(12) | valid | sem | inst | planes(F*4)], F."""
+    p = prims.world_to_prim.shape[0]
+    p_pad = _round_up(p, 8)
+    f = 0 if prims.cut_planes is None else prims.cut_planes.shape[1]
+    if 15 + 4 * f > 128:
+        raise ValueError(f"cut-plane count {f} exceeds the 128-lane prim row")
+    rows = jnp.zeros((p_pad, 128), jnp.float32)
+    rows = rows.at[:p, 0:12].set(prims.world_to_prim.reshape(p, 12))
+    rows = rows.at[:p, 12].set(prims.valid.astype(jnp.float32))
+    rows = rows.at[:p, 13].set(prims.semantic.astype(jnp.float32))
+    rows = rows.at[:p, 14].set(prims.instance.astype(jnp.float32))
+    if f:
+        rows = rows.at[:p, 15:15 + 4 * f].set(prims.cut_planes.reshape(p, 4 * f))
+    return rows, f
+
+
 def intersect_rays_pallas(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -100,26 +146,21 @@ def intersect_rays_pallas(
     interpret: bool = False,
 ) -> RayIntervals:
     """Shared-prims intersection via the fused kernel; same contract as
-    ops.intersect.intersect_rays (cut_planes unsupported -> assert None)."""
-    assert prims.cut_planes is None, "pallas path does not support cut planes yet"
+    ops.intersect.intersect_rays. Convex cut planes are handled in-kernel."""
     n = rays_o.shape[0]
     p = prims.world_to_prim.shape[0]
     k_pad = _round_up(k, 128)
-    p_pad = _round_up(p, 8)
 
     rays = jnp.zeros((_round_up(max(n, tile), tile), 128), jnp.float32)
     rays = rays.at[:n, 0:3].set(rays_o).at[:n, 3:6].set(rays_d)
 
-    prim_rows = jnp.zeros((p_pad, 128), jnp.float32)
-    prim_rows = prim_rows.at[:p, 0:12].set(prims.world_to_prim.reshape(p, 12))
-    prim_rows = prim_rows.at[:p, 12].set(prims.valid.astype(jnp.float32))
-    prim_rows = prim_rows.at[:p, 13].set(prims.semantic.astype(jnp.float32))
-    prim_rows = prim_rows.at[:p, 14].set(prims.instance.astype(jnp.float32))
+    prim_rows, f = _pack_prim_rows(prims)
+    p_pad = prim_rows.shape[0]
     meta = jnp.zeros((1, 128), jnp.float32)
 
     n_pad = rays.shape[0]
     outs = pl.pallas_call(
-        functools.partial(_kernel, p=p, k=k, near=near, far=far),
+        functools.partial(_kernel, p=p, k=k, near=near, far=far, f=f),
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32) for _ in range(4)
         ),
@@ -145,4 +186,39 @@ def intersect_rays_pallas(
         semantic=jnp.where(mask, sem, -1.0).astype(jnp.int32),
         instance=jnp.where(mask, inst, -1.0).astype(jnp.int32),
         mask=mask,
+    )
+
+
+def intersect_groups_pallas(
+    rays_o: jnp.ndarray,      # (G, M, 3)
+    rays_d: jnp.ndarray,      # (G, M, 3)
+    prims: Primitives,        # leading group dim: w2p (G, P, 3, 4), ... (G, P)
+    near: float,
+    far: float,
+    k: int,
+    tile: int = 256,
+    interpret: bool = False,
+) -> RayIntervals:
+    """Grouped-view train-path intersection (one prim table per view group,
+    see data.dataset.batch_intervals): vmap of the fused kernel over G.
+    Pallas lowers the vmap to an extra grid dimension — still one kernel
+    launch. Returns RayIntervals with leading shape (G, M)."""
+    m = rays_o.shape[1]
+    tile = min(tile, _round_up(m, 8))
+    if prims.cut_planes is not None:
+        one = lambda o, d, A, s, i, v, cp: intersect_rays_pallas(
+            o, d, Primitives(A, s, i, v, cp), near, far, k,
+            tile=tile, interpret=interpret,
+        )
+        return jax.vmap(one)(
+            rays_o, rays_d, prims.world_to_prim, prims.semantic,
+            prims.instance, prims.valid, prims.cut_planes,
+        )
+    one = lambda o, d, A, s, i, v: intersect_rays_pallas(
+        o, d, Primitives(A, s, i, v), near, far, k, tile=tile,
+        interpret=interpret,
+    )
+    return jax.vmap(one)(
+        rays_o, rays_d, prims.world_to_prim, prims.semantic,
+        prims.instance, prims.valid,
     )

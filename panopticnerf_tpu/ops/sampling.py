@@ -5,11 +5,16 @@ SURVEY.md §2.2): stratified samples *inside ray/primitive intersection
 intervals* (empty space skipped), plus an optional fine pass via inverse-CDF
 over coarse weights.
 
-TPU redesign: everything is static-shape and branch-free. Interval selection
-uses a comparison-matrix 'searchsorted' (sum of u >= cdf along K), which maps
-to dense VPU compares instead of per-ray binary searches. Rays that hit no
-primitive fall back to full-range stratified sampling via masked selects, not
-control flow.
+TPU redesign: everything is static-shape, branch-free, gather-free and
+sort-free. Interval selection uses a comparison-matrix 'searchsorted' (sum of
+u >= cdf along K) followed by one-hot mul-reduces — dense VPU compares, never
+dynamic lane indexing (measured ~4x slower on v5e, see CLAUDE.md). Samples
+come out SORTED BY CONSTRUCTION: the stratified u is monotone, interval
+selection walks a disjoint-union segment list, and coarse/fine streams are
+combined with a rank-merge (`merge_sorted`) instead of jnp.sort — the bitonic
+sort network dominated the round-1 sampler cost (~6 ms/step at the flagship
+shape). Rays that hit no primitive fall back to full-range stratified
+sampling via masked selects, not control flow.
 """
 
 from __future__ import annotations
@@ -35,6 +40,42 @@ def stratified_z(
     return near + (far - near) * frac
 
 
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free stable merge of two row-sorted arrays (N, A) + (N, B).
+
+    rank(a_i) = i + #{j : b_j < a_i}; rank(b_j) = j + #{i : a_i <= b_j}
+    (the <= breaks ties a-first, so ranks are a permutation). The merged
+    row is materialized with one-hot scatter mul-reduces. TPU note: a
+    bitonic jnp.sort over the concatenation measured ~6 ms/step at the
+    flagship shape; this compare-count + one-hot form is pure VPU work
+    with no dynamic lane indexing.
+    """
+    n, s_a = a.shape
+    s_b = b.shape[1]
+    ra = jnp.arange(s_a)[None] + jnp.sum(b[:, None, :] < a[:, :, None], -1)
+    rb = jnp.arange(s_b)[None] + jnp.sum(a[:, :, None] <= b[:, None, :], 1)
+    pos = jnp.arange(s_a + s_b)
+    oh_a = (ra[..., None] == pos).astype(a.dtype)              # (N, A, A+B)
+    oh_b = (rb[..., None] == pos).astype(b.dtype)              # (N, B, A+B)
+    return (a[..., None] * oh_a).sum(1) + (b[..., None] * oh_b).sum(1)
+
+
+def _union_segments(iv: RayIntervals):
+    """Disjoint ascending segments covering the union of entry-sorted
+    (possibly overlapping) intervals: seg_in_k = max(t_in_k, prior end),
+    seg_len_k = max(0, t_out_k - seg_in_k). Overlap regions are counted
+    once (the raw per-interval CDF double-counts them) and, crucially,
+    inverse-CDF samples over disjoint ascending segments come out SORTED."""
+    end = jnp.where(iv.mask, iv.t_out, -1e9)
+    prev_end = jnp.concatenate(
+        [jnp.full_like(end[:, :1], -1e9), jax.lax.cummax(end, axis=1)[:, :-1]],
+        axis=-1,
+    )
+    seg_in = jnp.maximum(iv.t_in, prev_end)
+    seg_len = jnp.maximum(jnp.where(iv.mask, iv.t_out - seg_in, 0.0), 0.0)
+    return seg_in, seg_len
+
+
 def guided_z(
     key: jax.Array,
     iv: RayIntervals,
@@ -47,22 +88,22 @@ def guided_z(
     """Stratified samples inside the union of a ray's intervals (+ background).
 
     iv: entry-sorted per-ray intervals (t_in/t_out = BIG where invalid).
-    Splits the budget: ceil((1-bg_frac)*S) samples distributed over interval
-    arc-length via inverse-CDF; the rest stratified over [near, far] so
-    unannotated geometry (e.g. sky, distant buildings) still receives
-    samples. Output: (N, S) sorted depths.
+    Splits the budget: ceil((1-bg_frac)*S) samples distributed over the
+    union arc-length via inverse-CDF; the rest stratified over [near, far]
+    so unannotated geometry (e.g. sky, distant buildings) still receives
+    samples. Output: (N, S) sorted depths — by construction, no sort.
     """
     n = iv.t_in.shape[0]
     s_bg = max(int(round(n_samples * bg_frac)), 1) if bg_frac > 0 else 0
     s_in = n_samples - s_bg
     key_in, key_bg = jax.random.split(key)
 
-    lengths = jnp.where(iv.mask, iv.t_out - iv.t_in, 0.0)      # (N, K)
-    cdf = jnp.cumsum(lengths, axis=-1)                         # (N, K)
+    seg_in, seg_len = _union_segments(iv)                      # (N, K) each
+    cdf = jnp.cumsum(seg_len, axis=-1)                         # (N, K)
     total = cdf[:, -1:]                                        # (N, 1)
     any_hit = total[:, 0] > 1e-8                               # (N,)
 
-    # Stratified u over total covered length.
+    # Stratified u over total covered length — monotone per ray.
     base = jnp.linspace(0.0, 1.0, s_in + 1)[:-1][None, :]      # (1, S_in)
     if perturb:
         jitter = jax.random.uniform(key_in, (n, s_in)) / s_in
@@ -70,12 +111,15 @@ def guided_z(
         jitter = 0.5 / s_in
     u = (base + jitter) * total                                # (N, S_in)
 
-    # Which interval: count of completed-cdf entries below u (VPU compare-sum).
+    # Which segment: count of completed-cdf entries below u, then one-hot
+    # mul-reduce selection (never take_along_axis — lane gathers are slow).
+    k = seg_len.shape[-1]
     idx = jnp.sum(u[:, :, None] >= cdf[:, None, :], axis=-1)   # (N, S_in)
-    idx = jnp.clip(idx, 0, lengths.shape[-1] - 1)
+    idx = jnp.clip(idx, 0, k - 1)
+    onehot = (idx[..., None] == jnp.arange(k)).astype(u.dtype)  # (N, S_in, K)
+    sel = lambda v: jnp.sum(onehot * v[:, None, :], axis=-1)
     cdf_prev = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]], axis=-1)
-    offset = u - jnp.take_along_axis(cdf_prev, idx, axis=-1)
-    z_in = jnp.take_along_axis(iv.t_in, idx, axis=-1) + offset  # (N, S_in)
+    z_in = sel(seg_in) + (u - sel(cdf_prev))                   # (N, S_in) sorted
 
     # Fallback for no-hit rays: full-range stratified (masked select, no cond).
     z_fallback = stratified_z(key_in, n, s_in, near, far, perturb)
@@ -83,10 +127,8 @@ def guided_z(
 
     if s_bg > 0:
         z_bg = stratified_z(key_bg, n, s_bg, near, far, perturb)
-        z = jnp.concatenate([z_in, z_bg], axis=-1)
-    else:
-        z = z_in
-    return jnp.sort(z, axis=-1)
+        return merge_sorted(z_in, z_bg)
+    return z_in
 
 
 def sample_pdf(
@@ -109,20 +151,28 @@ def sample_pdf(
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, B+1)
 
     if perturb:
-        u = jax.random.uniform(key, (n, n_importance))
+        # Stratified jittered u — monotone per ray, so the inverse-CDF
+        # output is SORTED by construction (classic NeRF draws iid uniforms
+        # and sorts the merged set; stratification only reduces variance).
+        base = jnp.linspace(0.0, 1.0, n_importance + 1)[:-1]
+        u = base[None] + jax.random.uniform(key, (n, n_importance)) / n_importance
     else:
         u = jnp.linspace(0.0, 1.0, n_importance + 2)[1:-1]
         u = jnp.broadcast_to(u[None], (n, n_importance))
 
-    # Comparison-matrix searchsorted: inds in [1, B] for u in [0, 1).
+    # Comparison-matrix searchsorted: inds in [1, B] for u in [0, 1), then
+    # one-hot mul-reduce selection of the bracketing cdf/bin values
+    # (take_along_axis lane gathers measured ~4x slower on v5e).
     inds = jnp.sum(u[:, :, None] >= cdf[:, None, :], axis=-1)  # (N, S)
     below = jnp.clip(inds - 1, 0, b - 1)
-    above = jnp.clip(inds, 1, b)
-
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    z_lo = jnp.take_along_axis(bins, below, axis=-1)
-    z_hi = jnp.take_along_axis(bins, above, axis=-1)
+    iota = jnp.arange(b + 1)
+    oh_lo = (below[..., None] == iota).astype(u.dtype)         # (N, S, B+1)
+    oh_hi = (jnp.clip(inds, 1, b)[..., None] == iota).astype(u.dtype)
+    pick = lambda oh, v: jnp.sum(oh * v[:, None, :], axis=-1)
+    cdf_lo = pick(oh_lo, cdf)
+    cdf_hi = pick(oh_hi, cdf)
+    z_lo = pick(oh_lo, bins)
+    z_hi = pick(oh_hi, bins)
 
     denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
     frac = (u - cdf_lo) / denom
@@ -130,5 +180,9 @@ def sample_pdf(
 
 
 def merge_z(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
-    """Sorted union of coarse + fine depths: (N, Sc+Sf)."""
-    return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)
+    """Sorted union of coarse + fine depths: (N, Sc+Sf).
+
+    Both inputs are row-sorted (guided/stratified coarse depths by
+    construction; sample_pdf emits monotone depths), so this is a rank
+    merge, not a sort."""
+    return merge_sorted(z_coarse, z_fine)

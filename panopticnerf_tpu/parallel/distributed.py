@@ -25,10 +25,21 @@ def maybe_init_distributed() -> bool:
     Uses the standard env contract (JAX_COORDINATOR_ADDRESS / TPU runtime
     auto-detect). Returns True if a multi-process runtime was initialized.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the runtime
+    from jax._src import distributed as _dist
+
+    # NOTE: do not probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() hard-errors.
+    if _dist.global_state.client is not None:
+        return jax.process_count() > 1  # already initialized by the runtime
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
+        if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+            # CPU slices (fake-cluster tests, CPU fallbacks) need an
+            # explicit cross-process collectives backend; TPU uses ICI.
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),

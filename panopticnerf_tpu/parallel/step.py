@@ -40,6 +40,10 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
             f"data.n_rays={cfg.data.n_rays} must be divisible by mesh size {n_dev}"
         )
     use_prims = cfg.render.use_primitives
+    use_pallas_intersect = (
+        cfg.render.use_pallas_intersect and cfg.data.views_per_batch > 0
+    )
+    pallas_interpret = jax.default_backend() == "cpu"
     sem_gate = cfg.train.pretrain == "nerf"
     pretrain_steps = cfg.train.pretrain_steps
     rays_spec = jax.sharding.NamedSharding(mesh, P(axis))
@@ -61,7 +65,9 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
         iv = (
             shard_rays(
                 batch_intervals(ds, batch, cfg.render.near, cfg.render.far,
-                            cfg.data.max_intervals, cfg.data.views_per_batch)
+                                cfg.data.max_intervals, cfg.data.views_per_batch,
+                                use_pallas=use_pallas_intersect,
+                                pallas_interpret=pallas_interpret)
             )
             if use_prims
             else None

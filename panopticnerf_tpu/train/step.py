@@ -78,6 +78,12 @@ def make_train_step(cfg: Config, model, donate: bool = True):
             f"data.views_per_batch={cfg.data.views_per_batch}"
         )
     use_prims = cfg.render.use_primitives
+    # The fused Pallas kernel needs the grouped path (one prim table per
+    # view group); interpret mode keeps CPU tests runnable.
+    use_pallas_intersect = (
+        cfg.render.use_pallas_intersect and cfg.data.views_per_batch > 0
+    )
+    pallas_interpret = jax.default_backend() == "cpu"
     sem_gate = cfg.train.pretrain == "nerf"
     pretrain_steps = cfg.train.pretrain_steps
     bounds_of = lambda ds: SceneBounds(ds.bounds_center, ds.bounds_scale)
@@ -92,7 +98,9 @@ def make_train_step(cfg: Config, model, donate: bool = True):
                                  cfg.data.views_per_batch)
         iv = (
             batch_intervals(ds, batch, cfg.render.near, cfg.render.far,
-                            cfg.data.max_intervals, cfg.data.views_per_batch)
+                            cfg.data.max_intervals, cfg.data.views_per_batch,
+                            use_pallas=use_pallas_intersect,
+                            pallas_interpret=pallas_interpret)
             if use_prims
             else None
         )

@@ -1,0 +1,121 @@
+"""Multi-host smoke test (SURVEY.md §2.4(2)/§5.8): two real OS processes
+joined by jax.distributed over a CPU 'slice' (gloo collectives), each with 2
+virtual devices — a 4-device global mesh. Both processes feed IDENTICAL
+replicated inputs (the documented SPMD contract in parallel/distributed.py)
+and must produce identical losses and updated params, with the gradient
+psum crossing the process boundary."""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import os, sys
+
+pid = int(sys.argv[1])
+os.environ["JAX_PROCESS_ID"] = str(pid)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax._src.xla_bridge as xb
+
+getattr(xb, "_backend_factories", {}).pop("axon", None)
+
+from panopticnerf_tpu.parallel import maybe_init_distributed
+
+assert maybe_init_distributed(), "distributed init failed"
+assert jax.process_count() == 2
+assert jax.device_count() == 4
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.data.synthetic import build_synthetic_dataset
+from panopticnerf_tpu.models import init_params, make_network
+from panopticnerf_tpu.parallel import make_parallel_train_step
+from panopticnerf_tpu.train import make_train_state
+
+cfg = Config()
+cfg.data.dataset = "synthetic"
+cfg.data.synthetic_image_hw = (12, 16)
+cfg.data.synthetic_num_frames = 4
+cfg.data.synthetic_num_boxes = 3
+cfg.data.n_rays = 64
+cfg.data.views_per_batch = 1
+cfg.data.max_primitives = 4
+cfg.data.max_intervals = 2
+cfg.model.trunk_depth = 2
+cfg.model.trunk_width = 16
+cfg.model.color_width = 8
+cfg.model.num_classes = 4
+cfg.model.compute_dtype = "float32"
+cfg.render.n_samples = 8
+cfg.render.n_importance = 0
+cfg.render.near = 0.5
+cfg.render.far = 40.0
+cfg.render.use_primitives = True
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+ds = build_synthetic_dataset(cfg, seed=0)       # identical on every process
+model = make_network(cfg)
+state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+step = make_parallel_train_step(cfg, model, mesh, donate=False)
+state2, stats = step(state, ds, jnp.arange(4), jax.random.key(0))
+loss = float(stats["loss_total"])
+psum = float(sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(state2.params)))
+print(f"RESULT {pid} loss={loss:.10f} paramsum={psum:.8f}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel_step(tmp_path):
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        JAX_NUM_PROCESSES="2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+        PYTHONPATH=REPO,
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, loss, psum = line.split()
+                results[pid] = (loss, psum)
+    assert set(results) == {"0", "1"}, outs
+    # SPMD: both processes computed the same loss and the same updated
+    # params (the grad psum crossed the process boundary).
+    assert results["0"] == results["1"], results
+    loss0 = float(results["0"][0].split("=")[1])
+    assert loss0 > 0 and loss0 < 1e4

@@ -91,8 +91,52 @@ def test_sample_pdf_uniform_weights_spread():
 
 
 def test_merge_z_sorted():
-    z = merge_z(jnp.array([[1.0, 3.0]]), jnp.array([[2.0, 0.5]]))
+    # merge_z contract: both inputs row-sorted (rank merge, not a sort)
+    z = merge_z(jnp.array([[1.0, 3.0]]), jnp.array([[0.5, 2.0]]))
     np.testing.assert_allclose(z[0], [0.5, 1, 2, 3])
+
+
+def test_merge_sorted_matches_np_sort():
+    from panopticnerf_tpu.ops.sampling import merge_sorted
+
+    rng = np.random.default_rng(0)
+    a = np.sort(rng.uniform(0, 10, (32, 24)), axis=-1)
+    b = np.sort(rng.uniform(0, 10, (32, 40)), axis=-1)
+    got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_merge_sorted_with_ties():
+    from panopticnerf_tpu.ops.sampling import merge_sorted
+
+    a = jnp.array([[1.0, 2.0, 2.0, 5.0]])
+    b = jnp.array([[2.0, 2.0, 3.0]])
+    got = np.asarray(merge_sorted(a, b))
+    np.testing.assert_allclose(got[0], [1, 2, 2, 2, 2, 3, 5])
+
+
+def test_guided_z_overlapping_intervals_sorted_union():
+    """Overlapping primitive intervals must yield sorted samples covering
+    the UNION (not double-counting the overlap)."""
+    prims = make_box_primitives(
+        jnp.array([[0.0, 0, 5], [0.0, 0, 7]]),        # z in [4,6] and [6,8]... overlap at edges
+        jnp.array([[2.0, 2, 4], [2.0, 2, 4]]),        # z in [3,7] and [5,9]
+        jnp.tile(jnp.eye(3), (2, 1, 1)),
+        jnp.array([1, 2]),
+        jnp.array([1, 2]),
+    )
+    o = jnp.zeros((4, 3))
+    d = jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))
+    iv = intersect_rays(o, d, prims, 0.1, 100.0, k=4)
+    z = np.asarray(guided_z(jax.random.key(2), iv, 64, 0.1, 100.0,
+                            perturb=True, bg_frac=0.0))
+    assert (np.diff(z, axis=-1) >= 0).all()
+    assert (z >= 3 - 1e-4).all() and (z <= 9 + 1e-4).all()
+    # union is [3, 9]: samples roughly uniform across it (overlap [5, 7]
+    # must NOT get double mass)
+    frac_overlap = ((z >= 5) & (z <= 7)).mean()
+    assert 0.2 < frac_overlap < 0.45  # 2/6 of arc length ~ 0.33
 
 
 def test_compute_weights_opaque_wall():
