@@ -88,11 +88,16 @@ class ModelConfig:
     use_viewdirs: bool = True
     # TPU compute dtype for the MLP matmuls (params stay f32).
     compute_dtype: str = "bfloat16"
-    # Route the MLP trunk through the fused Pallas kernel (weights pinned in
-    # VMEM) on BOTH paths: eval/render uses the forward kernel, and training
-    # uses the fused custom-VJP kernel (resolve_train_model ->
-    # PallasTrainAdapter), replacing XLA autodiff for the trunk.
+    # Route the MLP through a fused Pallas kernel (weights pinned in VMEM)
+    # on BOTH paths: eval/render uses the forward kernel, and training uses
+    # the fused custom-VJP kernel (resolve_train_model ->
+    # PallasTrainAdapter), replacing XLA autodiff.
     use_pallas: bool = False
+    # Which fused execution to use when use_pallas is set (see
+    # models/pallas_apply.pallas_field_apply): "trunk" (fused 8x256 trunk,
+    # XLA heads — fastest in-step on v5e), "hybrid" (XLA fwd + whole-field
+    # Pallas bwd), "field" (all-Pallas whole field).
+    pallas_mode: str = "trunk"
 
 
 @dataclass

@@ -38,7 +38,8 @@ def _eval_model(cfg: Config, model):
         from panopticnerf_tpu.models.pallas_apply import PallasApplyAdapter
 
         return PallasApplyAdapter(cfg.model, has_fine=cfg.render.n_importance > 0,
-                                  interpret=jax.default_backend() == "cpu")
+                                  interpret=jax.default_backend() == "cpu",
+                                  mode=cfg.model.pallas_mode)
     return model
 
 

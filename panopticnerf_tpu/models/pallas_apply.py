@@ -1,10 +1,12 @@
-"""Pallas-backed forward path for the NeRF field.
+"""Pallas-backed field apply (train AND eval paths).
 
-Drop-in replacement for `PanopticNeRF.apply` on the inference/render path:
-the trunk (the FLOP-dominant 8x256 stack) runs through the fused Pallas
-kernel (weights pinned in VMEM, zero inter-layer HBM traffic); the small
-heads (sigma / semantics / color) stay jnp, where XLA fuses them with the
-compositing consumers. Numerics match `model.apply` (tested).
+Drop-in replacement for `PanopticNeRF.apply`: the WHOLE field — 8x256
+trunk plus sigma / semantic / color heads — runs through one fused
+custom-VJP Pallas kernel (ops/pallas_field_train.py) with weights and
+activations pinned in VMEM, forward and backward. The field is HBM-
+bandwidth-bound under XLA (~37% MXU even for the bare trunk chain,
+tools/mlp_microbench.py), so eliminating the per-layer activation
+round-trips is the whole game. Numerics match `model.apply` (tested).
 """
 
 from __future__ import annotations
@@ -31,66 +33,101 @@ def pallas_field_apply(
     level: int = 0,
     has_fine: bool = False,
     interpret: bool = False,
-    tile: int = 512,
+    tile: int = 256,
+    mode: str = "trunk",
 ):
-    """Same signature/semantics as PanopticNeRF.__call__ (scene-normalized pts)."""
+    """Same signature/semantics as PanopticNeRF.__call__ (scene-normalized pts).
+
+    Three measured execution modes (interleaved A/B on v5e, full flagship
+    step, tools/ab_interleaved.py):
+
+      "trunk"  — fused-VJP Pallas kernel for the 8x256 trunk only, heads in
+                 XLA (ops/pallas_mlp_train.py). Fastest in-step.
+      "hybrid" — XLA forward + whole-field recompute-in-VMEM Pallas
+                 backward (ops/pallas_field_train.py). Wins in isolation
+                 (12 vs 16 ms at 262k pts) but loses ~1 ms in-step: the
+                 custom-call boundary blocks XLA from overlapping the field
+                 backward with the compositing/loss backward.
+      "field"  — all-Pallas forward+backward; the lane-padded head matmuls
+                 cost ~30% extra FLOPs. Kept for kernel R&D.
+    """
     p = _field_params(params, level, has_fine)
     dtype = jnp.dtype(cfg.compute_dtype)
     shape = pts.shape[:-1]
     x = pts.reshape(-1, 3)
-
     x_enc = positional_encoding(x, cfg.xyz_freqs).astype(dtype)
-    weights = [p[f"trunk_{i}"]["kernel"] for i in range(cfg.trunk_depth)]
-    biases = [p[f"trunk_{i}"]["bias"] for i in range(cfg.trunk_depth)]
+
+    d_enc = None
+    d_dim = 0
+    if cfg.use_viewdirs and viewdirs is not None:
+        d = jnp.broadcast_to(viewdirs, pts.shape).reshape(-1, 3)
+        d_enc = positional_encoding(d, cfg.dir_freqs).astype(dtype)
+        d_dim = d_enc.shape[-1]
+
     # Convention shift: flax concatenates PE AFTER layer s (models/nerf.py),
     # so it is layer s+1 whose weights consume [h, x] — the kernel's skip
     # set is shifted by one.
     kernel_skips = tuple(s + 1 for s in cfg.skips if s + 1 < cfg.trunk_depth)
-    # jnp-packed kernel (traceable under jit, unlike the host-packed
-    # fused_trunk); the custom-VJP forward is identical math.
-    from panopticnerf_tpu.ops.pallas_mlp_train import fused_trunk_train
 
-    h = fused_trunk_train(x_enc, weights, biases, kernel_skips, tile=tile,
-                          interpret=interpret).astype(dtype)
+    if mode == "trunk":
+        from panopticnerf_tpu.ops.pallas_mlp_train import fused_trunk_train
 
-    dense = lambda name, v: (v @ p[name]["kernel"].astype(dtype)
-                             + p[name]["bias"].astype(dtype))
-    sigma = dense("sigma", h)[..., 0].astype(jnp.float32).reshape(shape)
+        weights = [p[f"trunk_{i}"]["kernel"] for i in range(cfg.trunk_depth)]
+        biases = [p[f"trunk_{i}"]["bias"] for i in range(cfg.trunk_depth)]
+        h = fused_trunk_train(x_enc, weights, biases, kernel_skips,
+                              tile=max(tile, 512), interpret=interpret).astype(dtype)
+        dense = lambda name, v: (v @ p[name]["kernel"].astype(dtype)
+                                 + p[name]["bias"].astype(dtype))
+        sigma = dense("sigma", h)[..., 0].astype(jnp.float32)
+        sem = None
+        if cfg.use_semantic:
+            s = jnp.maximum(dense("sem_hidden", h), 0.0)
+            sem = dense("sem_out", s).astype(jnp.float32)
+        feat = dense("feature", h)
+        if d_enc is not None:
+            feat = jnp.concatenate([feat, d_enc], axis=-1)
+        r = jnp.maximum(dense("color_hidden", feat), 0.0)
+        rgb = jax.nn.sigmoid(dense("color_out", r).astype(jnp.float32))
+    else:
+        from panopticnerf_tpu.ops.pallas_field_train import (
+            FieldDims, fused_field_apply, hybrid_field_apply)
 
-    sem = None
-    if cfg.use_semantic:
-        s = jnp.maximum(dense("sem_hidden", h), 0.0)
-        sem = dense("sem_out", s).astype(jnp.float32).reshape(*shape, cfg.num_classes)
-
-    feat = dense("feature", h)
-    if cfg.use_viewdirs and viewdirs is not None:
-        d = jnp.broadcast_to(viewdirs, pts.shape).reshape(-1, 3)
-        d_enc = positional_encoding(d, cfg.dir_freqs).astype(dtype)
-        feat = jnp.concatenate([feat, d_enc], axis=-1)
-    r = jnp.maximum(dense("color_hidden", feat), 0.0)
-    rgb = jnp.asarray(
-        1.0 / (1.0 + jnp.exp(-dense("color_out", r).astype(jnp.float32)))
-    ).reshape(*shape, 3)
+        dims = FieldDims(
+            x_dim=x_enc.shape[-1], d_dim=d_dim, width=cfg.trunk_width,
+            sem_hidden=cfg.trunk_width // 2, color_width=cfg.color_width,
+            num_classes=cfg.num_classes, layers=cfg.trunk_depth,
+            skips=kernel_skips, use_sem=cfg.use_semantic,
+        )
+        fn = hybrid_field_apply if mode == "hybrid" else fused_field_apply
+        sigma, rgb, sem = fn(p, dims, x_enc, d_enc, tile=tile,
+                             interpret=interpret)
+    sigma = sigma.reshape(shape)
+    rgb = rgb.reshape(*shape, 3)
+    if sem is not None:
+        sem = sem.reshape(*shape, cfg.num_classes)
     return sigma, rgb, sem
 
 
 class PallasTrainAdapter:
-    """Differentiable Pallas field: fused trunk (custom VJP — activations
-    never touch HBM, see ops/pallas_mlp_train.py) + jnp heads. Drop-in for
-    the flax model everywhere a `model.apply` is expected (train AND eval);
-    same params pytree, matching numerics and gradients (tested)."""
+    """Differentiable Pallas field (mode-selectable, default "trunk" — the
+    in-step winner; see pallas_field_apply). Drop-in for the flax model
+    everywhere a `model.apply` is expected (train AND eval); same params
+    pytree, matching numerics and gradients (tested)."""
 
     def __init__(self, cfg_model: ModelConfig, has_fine: bool,
-                 interpret: bool = False, tile: int = 512):
+                 interpret: bool = False, tile: int = 256,
+                 mode: str = "trunk"):
         self.cfg = cfg_model
         self.has_fine = has_fine
         self.interpret = interpret
         self.tile = tile
+        self.mode = mode
 
     def apply(self, params, pts, viewdirs, level: int = 0):
         return pallas_field_apply(
             params, self.cfg, pts, viewdirs, level=level,
             has_fine=self.has_fine, interpret=self.interpret, tile=self.tile,
+            mode=self.mode,
         )
 
 

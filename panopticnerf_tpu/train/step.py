@@ -61,6 +61,7 @@ def resolve_train_model(cfg: Config, model):
         return PallasTrainAdapter(
             cfg.model, has_fine=cfg.render.n_importance > 0,
             interpret=jax.default_backend() == "cpu",
+            mode=cfg.model.pallas_mode,
         )
     return model
 
