@@ -24,6 +24,16 @@ The eager baseline is the MEDIAN of several repeats (the denominator was
 observed to swing ~1.8x between single runs); the spread is reported.
 A coarse-only (n_importance=0) fused number is also reported for
 comparison with round-1 records.
+
+Denominator stability: the eager baseline is DISPATCH-BOUND (dozens of H2D
+transfers + device dispatches per step through the axon relay), so its
+rays/s tracks relay RTT, which drifts between invocations (observed medians
+5.9k-15.4k across one session; within-run spread is tight). The headline
+`vs_baseline` therefore divides by max(measured median, BASE_FLOOR_RPS),
+where BASE_FLOOR_RPS is the best (fastest, least RTT-inflated) eager
+baseline ever observed on this setup — the reading most favorable to the
+reference. The raw measured ratio is still reported as
+`vs_measured_baseline`.
 """
 
 from __future__ import annotations
@@ -39,6 +49,11 @@ import numpy as np
 FAST = os.environ.get("BENCH_FAST", "0") == "1"
 # Logic smoke for CPU runs only — the flagship shape is TPU-sized.
 TINY = os.environ.get("BENCH_TINY", "0") == "1"
+
+# Best eager-equivalent baseline ever measured on this setup (rays/s,
+# v5e via axon relay, session of 2026-08-16; see BASELINE.md). Used as a
+# conservative floor for the vs_baseline denominator — see module docstring.
+BASE_FLOOR_RPS = 15400.0
 
 
 def flagship_cfg():
@@ -274,13 +289,19 @@ def main():
         for _ in range(base_repeats)
     ]
     base_rps = float(np.median(base_runs))
+    # Conservative denominator: never claim more speedup than the
+    # best-ever-observed baseline supports (TINY shapes skip the floor —
+    # it is calibrated to the flagship shape only).
+    denom = base_rps if TINY else max(base_rps, BASE_FLOOR_RPS)
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(fused_rps, 1),
         "unit": "rays/s",
-        "vs_baseline": round(fused_rps / base_rps, 2),
+        "vs_baseline": round(fused_rps / denom, 2),
+        "vs_measured_baseline": round(fused_rps / base_rps, 2),
         "baseline_rays_per_sec": round(base_rps, 1),
+        "baseline_floor_rays_per_sec": None if TINY else BASE_FLOOR_RPS,
         "baseline_spread": [round(min(base_runs), 1), round(max(base_runs), 1)],
         "platform": platform,
         "rays_per_batch": cfg.data.n_rays,
