@@ -51,9 +51,10 @@ FAST = os.environ.get("BENCH_FAST", "0") == "1"
 TINY = os.environ.get("BENCH_TINY", "0") == "1"
 
 # Best eager-equivalent baseline ever measured on this setup (rays/s,
-# v5e via axon relay, session of 2026-08-16; see BASELINE.md). Used as a
-# conservative floor for the vs_baseline denominator — see module docstring.
-BASE_FLOOR_RPS = 15400.0
+# v5e via axon relay; median of 3, fast-relay invocation of 2026-08-16
+# evening — see BASELINE.md). Used as a conservative floor for the
+# vs_baseline denominator — see module docstring.
+BASE_FLOOR_RPS = 18510.0
 
 
 def flagship_cfg():

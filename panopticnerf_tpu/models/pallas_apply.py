@@ -74,19 +74,38 @@ def pallas_field_apply(
 
         weights = [p[f"trunk_{i}"]["kernel"] for i in range(cfg.trunk_depth)]
         biases = [p[f"trunk_{i}"]["bias"] for i in range(cfg.trunk_depth)]
+        # tile/chunk picked by interleaved A/B on v5e (tools/ab_chunk.py):
+        # 1024-pt tiles in 32,768-pt lax.map segments; see fused_trunk_train.
         h = fused_trunk_train(x_enc, weights, biases, kernel_skips,
-                              tile=max(tile, 512), interpret=interpret).astype(dtype)
+                              tile=max(tile, 1024), interpret=interpret).astype(dtype)
         dense = lambda name, v: (v @ p[name]["kernel"].astype(dtype)
                                  + p[name]["bias"].astype(dtype))
-        sigma = dense("sigma", h)[..., 0].astype(jnp.float32)
+        # The three heads that consume h run as ONE concatenated matmul —
+        # one MXU op and one read of h instead of three. Layout
+        # [feature | sem_hidden | sigma] keeps every output slice 128-lane
+        # aligned; padded FLOPs are identical to the separate matmuls
+        # (which pad 256+128+1 -> 512 lanes anyway).
+        names = ["feature"] + (["sem_hidden"] if cfg.use_semantic else []) + ["sigma"]
+        w_cat = jnp.concatenate(
+            [p[n]["kernel"].astype(dtype) for n in names], axis=1)
+        b_cat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in names])
+        hw = h @ w_cat + b_cat
+        wdim = cfg.trunk_width
+        sigma = hw[..., -1].astype(jnp.float32)
         sem = None
         if cfg.use_semantic:
-            s = jnp.maximum(dense("sem_hidden", h), 0.0)
+            s = jnp.maximum(hw[..., wdim : wdim + cfg.trunk_width // 2], 0.0)
             sem = dense("sem_out", s).astype(jnp.float32)
-        feat = dense("feature", h)
+        feat = hw[..., :wdim]
         if d_enc is not None:
-            feat = jnp.concatenate([feat, d_enc], axis=-1)
-        r = jnp.maximum(dense("color_hidden", feat), 0.0)
+            # Split the concat([feat, d_enc]) @ W into two matmuls on the
+            # un-concatenated operands — same math, no (N, 283) temporary.
+            w_ch = p["color_hidden"]["kernel"].astype(dtype)
+            pre = (feat @ w_ch[:wdim] + d_enc @ w_ch[wdim:]
+                   + p["color_hidden"]["bias"].astype(dtype))
+        else:
+            pre = dense("color_hidden", feat)
+        r = jnp.maximum(pre, 0.0)
         rgb = jax.nn.sigmoid(dense("color_out", r).astype(jnp.float32))
     else:
         from panopticnerf_tpu.ops.pallas_field_train import (

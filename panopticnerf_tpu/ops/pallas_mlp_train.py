@@ -209,13 +209,16 @@ trunk_train.defvjp(_trunk_fwd_rule, _trunk_bwd_rule)
 def fused_trunk_train(x_enc: jnp.ndarray, weights, biases,
                       skips: tuple[int, ...], tile: int = 512,
                       interpret: bool = False,
-                      chunk: int = 131_072) -> jnp.ndarray:
+                      chunk: int = 32_768) -> jnp.ndarray:
     """Differentiable fused trunk from per-layer weight/bias lists.
 
-    Very large point counts are split into `chunk`-point lax.map segments:
-    an XLA regalloc bug (jellyfish lsrav2 RET_CHECK) rejects single huge
-    programs around the custom call; chunking also keeps scheduler pressure
-    flat. Each segment still runs the full VMEM-resident kernel.
+    Large point counts are split into `chunk`-point lax.map segments. This
+    began as a workaround for a platform regalloc bug (resolved — see
+    docs/REGALLOC_RETCHECK.md; un-chunked 524k-pt calls now compile) but
+    measures FASTER than one big call: 32,768-pt segments beat 131,072 by
+    ~6% full-step time and 262,144+ by ~7% at the flagship shape
+    (tools/ab_chunk.py, interleaved medians; flat 16k-64k, cliff above).
+    Each segment still runs the full VMEM-resident kernel.
     """
     f = x_enc.shape[-1]
     width = weights[-1].shape[-1]
