@@ -88,10 +88,10 @@ class ModelConfig:
     use_viewdirs: bool = True
     # TPU compute dtype for the MLP matmuls (params stay f32).
     compute_dtype: str = "bfloat16"
-    # Route the MLP through a fused Pallas kernel (weights pinned in VMEM)
-    # on BOTH paths: eval/render uses the forward kernel, and training uses
-    # the fused custom-VJP kernel (resolve_train_model ->
-    # PallasTrainAdapter), replacing XLA autodiff.
+    # Route the TRAIN-step MLP through the fused custom-VJP Pallas kernel
+    # (weights/activations pinned in VMEM; resolve_train_model ->
+    # PallasTrainAdapter). Eval/render always stays XLA — forward-only
+    # rendering measures FASTER without the kernel (engine._eval_model).
     use_pallas: bool = False
     # Which fused execution to use when use_pallas is set (see
     # models/pallas_apply.pallas_field_apply): "trunk" (fused 8x256 trunk,

@@ -100,7 +100,9 @@ def sample_ray_batch(
     uv = jnp.stack([u, v], axis=-1).astype(jnp.float32) + 0.5
     c2w = ds.c2w[vi]                                           # (N, 3, 4)
     dirs_cam = _pixel_dirs(ds, vi, uv)
-    d = jnp.einsum("nij,nj->ni", c2w[:, :, :3], dirs_cam)
+    # mul-reduce, not einsum("nij,nj->ni") — the latter lowers to N tiny
+    # batched 3x3 MXU matmuls on this platform (CLAUDE.md perf notes).
+    d = jnp.sum(c2w[:, :, :3] * dirs_cam[:, None, :], axis=-1)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = c2w[:, :, 3]
     return RayBatch(rays_o=o, rays_d=d, rgb=rgb, pseudo=pseudo, depth=depth,

@@ -33,13 +33,16 @@ def _build(cfg: Config):
 
 
 def _eval_model(cfg: Config, model):
-    """Model used on the render/eval path: optionally the Pallas fast path."""
-    if cfg.model.use_pallas:
-        from panopticnerf_tpu.models.pallas_apply import PallasApplyAdapter
+    """Model used on the render/eval path: always the plain flax (XLA) field.
 
-        return PallasApplyAdapter(cfg.model, has_fine=cfg.render.n_importance > 0,
-                                  interpret=jax.default_backend() == "cpu",
-                                  mode=cfg.model.pallas_mode)
+    The Pallas trunk kernel wins in the TRAIN step (its recompute backward
+    removes per-layer HBM activation round-trips) but LOSES on the
+    forward-only render: XLA 96.4 vs trunk-kernel 111.7 ms/frame at the
+    flagship eval shape (tools/ab_render.py, interleaved medians on v5e) —
+    with no backward to feed, the custom-call boundary and pack/unpack
+    cost more than the fusion saves. `model.use_pallas` therefore only
+    switches the train step; eval stays XLA.
+    """
     return model
 
 

@@ -150,6 +150,9 @@ class PallasTrainAdapter:
         )
 
 
-# The render/eval path uses the same adapter (the custom-VJP forward is the
-# fused forward kernel).
+# Kept exported for kernel R&D; the production eval path uses the plain
+# flax model instead — forward-only rendering is FASTER under XLA than
+# through the kernel (96.4 vs 111.7 ms/frame, tools/ab_render.py; no
+# backward means the custom-call boundary buys nothing). See
+# engine._eval_model.
 PallasApplyAdapter = PallasTrainAdapter

@@ -99,7 +99,9 @@ def rays_from_dirs(dirs_cam: jnp.ndarray, c2w: jnp.ndarray):
     """
     R = c2w[..., :3, :3]
     t = c2w[..., :3, 3]
-    d = jnp.einsum("...ij,...j->...i", R, dirs_cam)
+    # broadcast-multiply-reduce, NOT einsum: with a per-ray batched R this
+    # would lower to N tiny 3x3 matmuls (see CLAUDE.md perf notes).
+    d = jnp.sum(R * dirs_cam[..., None, :], axis=-1)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.broadcast_to(t, d.shape)
     return o, d
