@@ -42,8 +42,11 @@ def main():
 
     fns = {}
     variants = [("xla", False, "trunk", 4096), ("trunk", True, "trunk", 4096),
-                ("field", True, "field", 4096), ("trunk_8k", True, "trunk", 8192),
-                ("trunk_33k", True, "trunk", 33088), ("xla_8k", False, "trunk", 8192)]
+                ("xla_8k", False, "trunk", 8192)]
+    if os.environ.get("ABR_ALL"):
+        variants += [("field", True, "field", 4096),
+                     ("trunk_8k", True, "trunk", 8192),
+                     ("trunk_33k", True, "trunk", 33088)]
     for name, flag, mode, tile in variants:
         cfg = dataclasses.replace(
             base,
