@@ -81,3 +81,47 @@ def test_compute_visible_ids_tool(tmp_path):
     # frame 101: building window opens
     ids = open(os.path.join(root, "visible_id", seq, "0000000101.txt")).read().split()
     assert "0" in ids and "1" in ids
+
+
+def test_check_data_tool(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from test_kitti360 import make_fake_kitti
+    import check_data
+
+    root = str(tmp_path / "kitti")
+    os.makedirs(root)
+    seq = make_fake_kitti(root)
+
+    rep = check_data.check_tree(root, seq, [100, 101, 102])
+    assert rep["images/image_00"][0] == "ok"
+    assert rep["primitives/3d_bboxes"][0] == "ok"
+    assert rep["primitives/visible_id"][0] == "partial"  # only frame 102
+    assert rep["primitives/visible_id"][1] is False      # ...and optional
+    assert all(st == "ok" for st, req, _ in rep.values() if req)
+
+    # fisheye flags: image_02 present, image_03 absent-but-optional
+    rep = check_data.check_tree(root, seq, [100, 101, 102], use_fisheye=True)
+    assert rep["images/image_02"][0] == "ok"
+    assert rep["images/image_03"][0] == "missing" and not rep["images/image_03"][1]
+
+    # a hole in a required stream flips it to partial
+    os.remove(os.path.join(root, "data_2d_raw", seq, "image_00", "data_rect",
+                           "0000000101.png"))
+    rep = check_data.check_tree(root, seq, [100, 101, 102])
+    assert rep["images/image_00"][0] == "partial"
+
+    # CLI: fails on the broken tree, exit 0 after restricting the window
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_data.py"),
+         "--root", root, "--sequence", seq,
+         "--frame_start", "100", "--frame_num", "3"],
+        capture_output=True, text=True)
+    assert out.returncode == 1 and "FAIL" in out.stdout
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_data.py"),
+         "--root", root, "--sequence", seq,
+         "--frame_start", "102", "--frame_num", "1"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout
