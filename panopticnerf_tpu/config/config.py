@@ -267,7 +267,9 @@ def _coerce(value: Any, ty: Any) -> Any:
         args = getattr(ty, "__args__", ())
         elem = args[0] if args else str
         if isinstance(value, str):
-            value = [v for v in value.replace(",", " ").split() if v]
+            for ch in ",()[]":
+                value = value.replace(ch, " ")
+            value = [v for v in value.split() if v]
         out = tuple(_coerce(v, elem) for v in value)
         return out if origin is tuple else list(out)
     return value

@@ -58,3 +58,14 @@ def test_yaml_unknown_key_rejected(tmp_path):
     p.write_text("data:\n  bogus: 1\n")
     with pytest.raises(KeyError):
         merge_from_file(Config(), str(p))
+
+
+def test_tuple_override_syntaxes():
+    from panopticnerf_tpu.config import Config
+    from panopticnerf_tpu.config.config import merge_from_list
+
+    for spec in ("16,24", "(16, 24)", "[16,24]", "16 24"):
+        cfg = merge_from_list(Config(), ["data.synthetic_image_hw", spec])
+        assert cfg.data.synthetic_image_hw == (16, 24), spec
+    cfg = merge_from_list(Config(), ["model.skips", "(2,5)"])
+    assert cfg.model.skips == (2, 5)
