@@ -176,8 +176,15 @@ class TrainConfig:
     # directory (weights only) — the reference's literal `pretrain nerf`
     # loads a geometry-pretrained NeRF before the joint stage.
     init_from: str = ""
-    # Checkpoint step to restore for evaluate/visualize (0 = latest).
+    # Checkpoint step to restore for evaluate/visualize (0 = latest,
+    # -1 = best-by-eval-metric — see save_best).
     eval_step: int = 0
+    # Keep a "best" checkpoint (mIoU when semantics are evaluated, else
+    # PSNR) refreshed at the eval cadence. Long runs keep improving PSNR
+    # while mIoU/PQ peak early and decay on noisy pseudo-labels
+    # (BASELINE.md long-run note) — metric-selected checkpoints are the
+    # remedy; evaluate them with `train.eval_step -1`.
+    save_best: bool = True
     seed: int = 0
 
 

@@ -7,6 +7,7 @@ everything routes through the jitted step/renderer.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -124,6 +125,7 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     t0 = time.time()
     rays_done = 0
     last_metrics = {}
+    best_val = -np.inf
 
     # Preemption-safe save (SURVEY.md §5.3): TPU preemptions deliver SIGTERM;
     # flag it and checkpoint at the next step boundary before exiting.
@@ -167,6 +169,15 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
             res = evaluate_views(cfg, model, state.params, eval_ds, test_ids[:2])
             log(f"eval@{step + 1}: " + ", ".join(
                 f"{k}={v:.3f}" for k, v in res.items() if np.isscalar(v)))
+            # Metric-selected checkpoint (train.save_best): mIoU governs when
+            # semantics are evaluated (the label-transfer task's headline),
+            # PSNR otherwise. Restore with `train.eval_step -1`.
+            val = res.get("miou", res.get("psnr"))
+            if tc.save_best and val is not None and float(val) > best_val:
+                best_val = float(val)
+                save_model(state, os.path.join(ckpt_dir, "best"), step + 1,
+                           max_to_keep=1)
+                log(f"new best eval metric {best_val:.4f} -> saved best@{step + 1}")
     save_model(state, ckpt_dir, total_steps)
     recorder.close()
     return {"state": state, "model": model, "ds": eval_ds, "test_ids": test_ids,
@@ -181,8 +192,12 @@ def make_lr(cfg: Config):
 
 def _restore_for_eval(cfg: Config):
     ds, train_ids, test_ids, model, state = _build(cfg)
+    directory = cfg.trained_model_dir
     want = cfg.train.eval_step or None
-    params, step = load_network(state.params, cfg.trained_model_dir, step=want)
+    if cfg.train.eval_step == -1:  # metric-selected checkpoint (save_best)
+        directory = os.path.join(directory, "best")
+        want = None
+    params, step = load_network(state.params, directory, step=want)
     return ds, test_ids, model, params, step
 
 

@@ -101,3 +101,21 @@ def test_warm_start_and_eval_step(tmp_path):
     cfg2.train.eval_step = 3
     res = run_evaluate(cfg2, log=logs.append)
     assert "psnr" in res
+
+
+def test_save_best_and_eval_step_best(tmp_path):
+    """train.save_best keeps a metric-selected checkpoint restorable via
+    train.eval_step -1 (BASELINE.md long-run remedy)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "bestckpt"
+    cfg.train.eval_ep = 1           # eval (and best-check) every ep_iter=10
+    logs = []
+    run_train(cfg, max_steps=20, log=logs.append)
+    best_dir = os.path.join(cfg.trained_model_dir, "best")
+    assert os.path.isdir(best_dir), logs
+    assert any("saved best@" in l for l in logs)
+
+    cfg.train.eval_step = -1
+    res = run_evaluate(cfg, log=logs.append)
+    assert "psnr" in res
+    assert any("ckpt step" in l for l in logs)
