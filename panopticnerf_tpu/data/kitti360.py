@@ -253,8 +253,13 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
             f"{dc.frame_start + dc.frame_num * dc.frame_step}) for {seq}"
         )
 
-    # --- primitives ---
+    # --- primitives --- (train/ is the PanopticNeRF layout; train_full/ is
+    # the raw KITTI-360 download's directory name — accept both)
     xml_path = os.path.join(root, "data_3d_bboxes", "train", f"{seq}.xml")
+    if not os.path.exists(xml_path):
+        alt = os.path.join(root, "data_3d_bboxes", "train_full", f"{seq}.xml")
+        if os.path.exists(alt):
+            xml_path = alt
     boxes = (
         parse_bbox_xml(xml_path, max_cut_planes=dc.max_cut_planes)
         if os.path.exists(xml_path)
@@ -318,6 +323,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
     cam_models, fisheye_ps, valid_masks = [], [], []
     any_gt = False
     any_fisheye = False
+    truncated_frames: list[tuple[int, int]] = []
 
     for frame in frames:
         vis = load_visible_ids(visible_dir, frame)
@@ -327,7 +333,13 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
             vis_idx = [i for v in vis.tolist() for i in ordinal_of.get(v, [])]
         else:
             vis_idx = boxes_visible_in_frame(boxes, frame)
-        vis_idx = vis_idx[:P]
+        if len(vis_idx) > P:
+            # Concave decomposition multiplies records per annotation, so a
+            # max_primitives tuned pre-decomposition can silently under-
+            # represent geometry (holes in the fixed field). Never silent.
+            dropped = len(vis_idx) - P
+            truncated_frames.append((frame, dropped))
+            vis_idx = vis_idx[:P]
         n_vis = len(vis_idx)
         w2p = np.zeros((P, 3, 4), np.float32)
         sem = np.full((P,), -1, np.int32)
@@ -410,6 +422,19 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
                 gi = np.zeros(hw, np.int32)
             gt_sems.append(gs)
             gt_insts.append(gi)
+
+    if truncated_frames:
+        import warnings
+
+        worst = max(d for _, d in truncated_frames)
+        warnings.warn(
+            f"data.max_primitives={P} truncated visible primitives on "
+            f"{len(truncated_frames)}/{len(frames)} frames (worst: {worst} "
+            f"records dropped) — concave annotations decompose into multiple "
+            f"convex pieces, so raise data.max_primitives to cover them "
+            f"(holes in the fixed semantic field otherwise).",
+            stacklevel=2,
+        )
 
     images = np.stack(images)
     cam_pos = np.stack(c2ws)[:, :, 3]

@@ -33,6 +33,24 @@ def _build(cfg: Config):
     return ds, train_ids, test_ids, model, state
 
 
+def _make_step(cfg: Config, model, log=print, donate: bool = True):
+    """Single-device jit, or the mesh-parallel pjit step when more than one
+    device is visible (cfg.parallel.data_parallel caps the mesh; reference
+    parity: DDP-style ray-batch data parallelism, SURVEY.md §2.4)."""
+    n_dev = cfg.parallel.data_parallel or jax.device_count()
+    if n_dev > 1 and cfg.data.n_rays % n_dev == 0:
+        from panopticnerf_tpu.parallel import make_mesh, make_parallel_train_step
+
+        mesh = make_mesh(cfg)
+        log(f"data-parallel over {mesh.devices.size} devices "
+            f"(rays sharded, grads psum over '{cfg.parallel.mesh_axis_name}')")
+        return make_parallel_train_step(cfg, model, mesh, donate=donate)
+    if n_dev > 1:
+        log(f"NOTE: {n_dev} devices visible but data.n_rays={cfg.data.n_rays} "
+            f"does not divide evenly — training single-device")
+    return make_train_step(cfg, model, donate=donate)
+
+
 def _eval_model(cfg: Config, model):
     """Model used on the render/eval path: always the plain flax (XLA) field.
 
@@ -85,7 +103,7 @@ def evaluate_views(cfg: Config, model, params, ds, view_ids) -> dict:
 def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     """Reference train_net.py equivalent: epoch loop with save/eval cadence."""
     ds, train_ids, test_ids, model, state = _build(cfg)
-    step_fn = make_train_step(cfg, model)
+    step_fn = _make_step(cfg, model, log=log)
 
     # Optional streaming: keep a rotating window of views in HBM
     # (data.stream_window > 0) for sequences larger than device memory.
@@ -125,7 +143,17 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     t0 = time.time()
     rays_done = 0
     last_metrics = {}
+    # Best-metric state survives preemption/resume via a sidecar json —
+    # otherwise the first post-resume eval (trivially > -inf) would
+    # overwrite the true best checkpoint with a worse one.
+    best_meta_path = os.path.join(ckpt_dir, "best_metric.json")
     best_val = -np.inf
+    if cfg.train.resume and os.path.exists(best_meta_path):
+        import json
+
+        with open(best_meta_path) as f:
+            best_val = float(json.load(f)["value"])
+        log(f"best-metric state restored: {best_val:.4f}")
 
     # Preemption-safe save (SURVEY.md §5.3): TPU preemptions deliver SIGTERM;
     # flag it and checkpoint at the next step boundary before exiting.
@@ -177,6 +205,10 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
                 best_val = float(val)
                 save_model(state, os.path.join(ckpt_dir, "best"), step + 1,
                            max_to_keep=1)
+                import json
+
+                with open(best_meta_path, "w") as f:
+                    json.dump({"value": best_val, "step": step + 1}, f)
                 log(f"new best eval metric {best_val:.4f} -> saved best@{step + 1}")
     save_model(state, ckpt_dir, total_steps)
     recorder.close()
@@ -277,7 +309,7 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None) -> l
 def run_network(cfg: Config, iters: int = 50, log=print) -> dict:
     """Throughput probe (reference run.py --type network, SURVEY.md §3.5)."""
     ds, train_ids, test_ids, model, state = _build(cfg)
-    step_fn = make_train_step(cfg, model, donate=False)
+    step_fn = _make_step(cfg, model, log=log, donate=False)
     view_ids = jnp.asarray(train_ids)
     key = jax.random.key(0)
     # warmup/compile

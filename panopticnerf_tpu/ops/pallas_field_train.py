@@ -65,7 +65,6 @@ class FieldDims:
         self.use_sem = use_sem
         self.ho_w = self.sh_pad + self.w_pad + 128  # [sem_hidden | feature | sigma]
         self.ch_in = self.w_pad + 128               # [feature | dir-PE]
-        self.in_max = max(self.f_pad, (self.w_pad + self.f_pad) if skips else self.w_pad)
 
     def statics(self):
         return dict(layers=self.layers, skips=self.skips, f_pad=self.f_pad,

@@ -9,6 +9,9 @@ collectives). Host loop is unchanged vs the single-chip path.
 
 from __future__ import annotations
 
+import dataclasses
+import warnings
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -27,6 +30,25 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
 
     n_rays must divide evenly by the mesh size (static check).
     """
+    if mesh.devices.size > 1 and (cfg.model.use_pallas
+                                  or cfg.render.use_pallas_intersect):
+        # Pallas custom calls under GSPMD auto-sharding are at best
+        # replicated behind all-gathers (negating data parallelism) and
+        # their multi-chip lowering cannot be validated on this setup
+        # (single real chip). The XLA paths are numerically identical and
+        # shard cleanly, so they are forced on >1-device meshes; the
+        # kernels stay on for the single-chip step, where they are benched.
+        warnings.warn(
+            "multi-device mesh: Pallas kernels disabled in the parallel "
+            "train step (XLA paths used; numerics identical). See "
+            "ROADMAP.md (shard_map kernel path pending multi-chip hardware).",
+            stacklevel=2,
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, use_pallas=False),
+            render=dataclasses.replace(cfg.render, use_pallas_intersect=False),
+        )
     model = resolve_train_model(cfg, model)
     if cfg.data.views_per_batch > 0 and cfg.data.n_rays % cfg.data.views_per_batch:
         raise ValueError(

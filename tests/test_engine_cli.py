@@ -119,3 +119,36 @@ def test_save_best_and_eval_step_best(tmp_path):
     res = run_evaluate(cfg, log=logs.append)
     assert "psnr" in res
     assert any("ckpt step" in l for l in logs)
+
+
+def test_engine_routes_through_mesh_when_multidevice(tmp_path):
+    """run_train auto-dispatches to the mesh-parallel pjit step when more
+    than one device is visible (8 virtual CPU devices in tests)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "meshtrain"
+    logs = []
+    run_train(cfg, max_steps=3, log=logs.append)
+    assert any("data-parallel over 8 devices" in l for l in logs), logs[:5]
+
+
+def test_best_metric_survives_resume(tmp_path):
+    """Resume must restore best-metric state — otherwise the first
+    post-resume eval (> -inf) would clobber the true best checkpoint."""
+    import json
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "bestresume"
+    cfg.train.eval_ep = 1
+    logs = []
+    run_train(cfg, max_steps=10, log=logs.append)
+    meta = os.path.join(cfg.trained_model_dir, "best_metric.json")
+    assert os.path.exists(meta)
+
+    # Pretend an earlier (pre-preemption) eval was much better.
+    json.dump({"value": 1e9, "step": 10}, open(meta, "w"))
+    cfg.train.resume = True
+    logs2 = []
+    run_train(cfg, max_steps=20, log=logs2.append)
+    assert any("best-metric state restored" in l for l in logs2)
+    assert not any("saved best@" in l for l in logs2)  # nothing beat 1e9
+    assert json.load(open(meta))["value"] == 1e9

@@ -399,3 +399,43 @@ def test_build_dataset_trains(fake_root):
     step = make_train_step(cfg, model, donate=False)
     state2, stats = step(state, ds, jnp.arange(6), jax.random.key(1))
     assert np.isfinite(float(stats["loss_total"]))
+
+
+def test_train_full_bbox_dir_fallback(tmp_path):
+    """The raw KITTI-360 download ships data_3d_bboxes/train_full/ — the
+    loader accepts it when train/ is absent."""
+    import shutil
+
+    from panopticnerf_tpu.data.kitti360 import build_kitti360_dataset
+
+    root = str(tmp_path / "kitti")
+    os.makedirs(root)
+    seq = make_fake_kitti(root)
+    src = os.path.join(root, "data_3d_bboxes", "train")
+    dst = os.path.join(root, "data_3d_bboxes", "train_full")
+    shutil.move(src, dst)
+    cfg = Config()
+    cfg.data.dataset = "kitti360"
+    cfg.data.root = root
+    cfg.data.frame_start = 100
+    cfg.data.frame_num = 3
+    cfg.data.max_primitives = 4
+    cfg.data.max_intervals = 4
+    cfg.model.num_classes = 19
+    ds = build_kitti360_dataset(cfg)
+    assert bool(ds.prim_valid.any())  # primitives were loaded from train_full
+
+
+def test_max_primitives_truncation_warns(fake_root):
+    """Silently dropping visible primitive records (e.g. after concave
+    decomposition multiplies them) is never OK — a warning must fire."""
+    import warnings as _w
+
+    from panopticnerf_tpu.data.kitti360 import build_kitti360_dataset
+
+    cfg = _cfg(fake_root, max_primitives=1)  # frames 101/102 have 2 records
+    with pytest.warns(UserWarning, match="truncated visible primitives"):
+        build_kitti360_dataset(cfg)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)  # ample budget -> no warning
+        build_kitti360_dataset(_cfg(fake_root, max_primitives=8))

@@ -125,3 +125,34 @@ def test_sharded_image_render_matches_single():
     np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.sem_fixed), np.asarray(ref.sem_fixed), atol=1e-5)
+
+
+def test_parallel_step_forces_kernels_off():
+    """On a >1-device mesh the Pallas kernel flags are disabled (custom-call
+    partitioning under GSPMD is unverified on multi-chip hardware) and the
+    XLA fallback reproduces the kernels-off numerics exactly."""
+    cfg = _cfg()
+    cfg.data.views_per_batch = 4
+    cfg.model.use_pallas = True
+    cfg.render.use_pallas_intersect = True
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    mesh = make_mesh(cfg)
+    view_ids = jnp.arange(4)
+    key = jax.random.key(5)
+
+    with pytest.warns(UserWarning, match="Pallas kernels disabled"):
+        par = make_parallel_train_step(cfg, model, mesh, donate=False)
+    s1, stats1 = par(make_train_state(cfg, model, params), ds, view_ids, key)
+
+    cfg_off = _cfg()
+    cfg_off.data.views_per_batch = 4
+    off = make_parallel_train_step(cfg_off, model, mesh, donate=False)
+    s2, stats2 = off(make_train_state(cfg_off, model, params), ds, view_ids, key)
+
+    np.testing.assert_allclose(float(stats1["loss_total"]),
+                               float(stats2["loss_total"]), rtol=1e-6)
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
