@@ -275,7 +275,65 @@ def run_evaluate(cfg: Config, log=print) -> dict:
     return res
 
 
-def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None) -> list:
+def _trajectory_poses(ds, n_frames: int):
+    """Smooth camera path through the (perspective) training poses:
+    translation lerp + rotation chord-lerp re-orthonormalized via SVD
+    (equivalent to slerp for the small inter-frame angles of a driving
+    sequence). Returns [(c2w 3x4, nearest view id), ...]."""
+    c2w = np.asarray(ds.c2w, np.float64)
+    ids = np.arange(c2w.shape[0])
+    if ds.cam_model is not None:  # keep pinhole views only (fisheye poses jump)
+        keep = np.asarray(ds.cam_model) == 0
+        c2w, ids = c2w[keep], ids[keep]
+    if c2w.shape[0] < 2:
+        raise ValueError("trajectory rendering needs >= 2 perspective views")
+    out = []
+    for t in np.linspace(0.0, c2w.shape[0] - 1.0, n_frames):
+        i = min(int(np.floor(t)), c2w.shape[0] - 2)
+        a = t - i
+        R = (1 - a) * c2w[i, :, :3] + a * c2w[i + 1, :, :3]
+        u, _, vt = np.linalg.svd(R)
+        R = u @ vt
+        if np.linalg.det(R) < 0:
+            R = u @ np.diag([1.0, 1.0, -1.0]) @ vt
+        tr = (1 - a) * c2w[i, :, 3] + a * c2w[i + 1, :, 3]
+        pose = np.concatenate([R, tr[:, None]], axis=1).astype(np.float32)
+        out.append((pose, int(ids[int(round(t))])))
+    return out
+
+
+def render_trajectory(cfg: Config, model, params, ds, n_frames: int):
+    """Render novel interpolated poses (the reference's demo-video path).
+
+    Intrinsics and the visible-primitive table come from the nearest
+    training view; rays are regenerated for the interpolated pose, so this
+    exercises true novel-view synthesis + label transfer off the pose rail.
+    Yields (frame_index, nearest_view, RenderOut).
+    """
+    from panopticnerf_tpu.ops.rays import gen_rays_perspective
+
+    model = _eval_model(cfg, model)
+    h, w = ds.images.shape[1:3]
+    vv, uu = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(jnp.float32) + 0.5
+    bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+
+    @jax.jit
+    def render_pose(params, K, c2w, view):
+        o, d = gen_rays_perspective(uv, K, c2w)
+        iv = None
+        if cfg.render.use_primitives:
+            iv = intersect_rays(o, d, view_primitives(ds, view), cfg.render.near,
+                                cfg.render.far, cfg.data.max_intervals)
+        return render_image_rays(model, params, o, d, bounds, cfg, iv=iv)
+
+    for i, (pose, near_view) in enumerate(_trajectory_poses(ds, n_frames)):
+        yield i, near_view, render_pose(params, ds.K[near_view],
+                                        jnp.asarray(pose), near_view)
+
+
+def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
+                  trajectory: int = 0) -> list:
     from panopticnerf_tpu.viz import Visualizer
 
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
@@ -290,6 +348,15 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None) -> l
         written += viz.write_view(int(view), out, (h, w), sem=sem, inst=inst)
         if sem is not None and inst is not None:
             written += viz.write_label_transfer(int(view), sem, inst, (h, w))
+    if trajectory > 0:
+        # Novel-pose demo video: smooth path through the training poses
+        # (ids 2e6+ so the frames sort after the per-view outputs).
+        for i, near_view, out in render_trajectory(cfg, model, params, ds,
+                                                   trajectory):
+            sem_t, inst_t = ev.evaluate(out)
+            written += viz.write_view(2_000_000 + i, out, (h, w),
+                                      sem=sem_t, inst=inst_t)
+        log(f"trajectory: rendered {trajectory} interpolated poses")
     if panorama_hw is not None:
         # 360-degree label transfer: one panorama at the middle test view
         from panopticnerf_tpu.render import render_panorama

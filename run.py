@@ -16,6 +16,9 @@ def parse_args():
     p.add_argument("--cfg_file", type=str, default=None)
     p.add_argument("--panorama", type=str, default=None,
                    help="H,W: also render an equirect panorama (visualize only)")
+    p.add_argument("--trajectory", type=int, default=0,
+                   help="N: also render N smoothly interpolated novel poses "
+                        "through the training trajectory (visualize only)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -28,7 +31,7 @@ def main():
     cfg = make_cfg(args)
     if args.type == "visualize":
         pano = tuple(int(x) for x in args.panorama.split(",")) if args.panorama else None
-        engine.run_visualize(cfg, panorama_hw=pano)
+        engine.run_visualize(cfg, panorama_hw=pano, trajectory=args.trajectory)
     else:
         getattr(engine, f"run_{args.type}")(cfg)
 

@@ -152,3 +152,28 @@ def test_best_metric_survives_resume(tmp_path):
     assert any("best-metric state restored" in l for l in logs2)
     assert not any("saved best@" in l for l in logs2)  # nothing beat 1e9
     assert json.load(open(meta))["value"] == 1e9
+
+
+def test_trajectory_visualize(tmp_path):
+    """--trajectory N renders interpolated novel poses (demo-video path)."""
+    import numpy as np
+
+    from panopticnerf_tpu.engine import _trajectory_poses
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "traj"
+    run_train(cfg, max_steps=5)
+    files = run_visualize(cfg, log=lambda *_: None, trajectory=4)
+    names = [os.path.basename(f) for f in files]
+    assert sum(n.startswith("2000") and n.endswith("_rgb.png") for n in names) == 4
+
+    # poses are valid rotations and the path hits the endpoints
+    from panopticnerf_tpu.data import make_dataset
+
+    ds, _, _ = make_dataset(cfg)
+    poses = _trajectory_poses(ds, 5)
+    for c2w, near in poses:
+        R = c2w[:, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) > 0
+    np.testing.assert_allclose(poses[0][0], np.asarray(ds.c2w[0]), atol=1e-5)
