@@ -55,14 +55,25 @@ def load_model(state_template, directory: str, step: Optional[int] = None):
 
 def load_network(params_template, directory: str, step: Optional[int] = None):
     """Weights-only restore for evaluation (reference `load_network`)."""
+    import logging
+
     mgr = _manager(directory)
     target = step if step is not None else mgr.latest_step()
     if target is None:
         mgr.close()
         raise FileNotFoundError(f"no checkpoint found under {directory}")
     # Restore the raw pytree (no template needed) and keep params only.
-    restored = mgr.restore(target)
-    mgr.close()
+    # Template-less restore is deliberate here (weights-only, any model
+    # topology mismatch surfaces in the dtype-cast below) — silence orbax's
+    # per-restore warnings about it so CLI output stays readable.
+    absl_log = logging.getLogger("absl")
+    prev = absl_log.level
+    absl_log.setLevel(logging.ERROR)
+    try:
+        restored = mgr.restore(target)
+    finally:
+        absl_log.setLevel(prev)
+        mgr.close()
     params = restored["params"]
     if params_template is not None:
         params = jax.tree.map(lambda t, x: x.astype(t.dtype), params_template, params)
