@@ -127,7 +127,11 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
 
     start_step = 0
     if cfg.train.init_from:
-        params, init_step = load_network(state.params, cfg.train.init_from)
+        # Partial merge (strict=False): the reference's `pretrain nerf`
+        # recipe warm-starts a wider model (fine field, new heads) from a
+        # narrower pretrained one; unmatched subtrees keep fresh init.
+        params, init_step = load_network(state.params, cfg.train.init_from,
+                                         strict=False)
         state = state.replace(params=params)
         log(f"warm-started params from {cfg.train.init_from} (step {init_step})")
     if cfg.train.resume:

@@ -53,8 +53,15 @@ def load_model(state_template, directory: str, step: Optional[int] = None):
     return restored, target
 
 
-def load_network(params_template, directory: str, step: Optional[int] = None):
-    """Weights-only restore for evaluation (reference `load_network`)."""
+def load_network(params_template, directory: str, step: Optional[int] = None,
+                 strict: bool = True):
+    """Weights-only restore (reference `load_network`).
+
+    strict=True (evaluation): checkpoint topology must match the model —
+    a config/checkpoint mismatch fails loudly instead of silently
+    evaluating half-fresh weights. strict=False (warm start): partial
+    merge — see _merge_params.
+    """
     import logging
 
     mgr = _manager(directory)
@@ -76,5 +83,39 @@ def load_network(params_template, directory: str, step: Optional[int] = None):
         mgr.close()
     params = restored["params"]
     if params_template is not None:
-        params = jax.tree.map(lambda t, x: x.astype(t.dtype), params_template, params)
+        if strict:
+            params = jax.tree.map(lambda t, x: x.astype(t.dtype),
+                                  params_template, params)
+        else:
+            params = _merge_params(params_template, params)
     return params, target
+
+
+def _merge_params(template, restored, path: str = ""):
+    """Copy every checkpoint leaf whose path+shape matches the template;
+    keep the template (fresh init) elsewhere.
+
+    This is what makes the reference's `pretrain nerf` staging work across
+    topology changes: a geometry-pretrained coarse-only NeRF warm-starts
+    the coarse field of a coarse+fine(+semantic-head) model, while the
+    subtrees absent from the checkpoint (fine field, new heads) keep their
+    fresh initialization. Mismatched shapes (e.g. a resized semantic head)
+    also fall back to the template, with a warning.
+    """
+    import warnings
+
+    if isinstance(template, dict):
+        out = {}
+        for k, t in template.items():
+            if isinstance(restored, dict) and k in restored:
+                out[k] = _merge_params(t, restored[k], f"{path}/{k}")
+            else:
+                out[k] = t  # absent from checkpoint: keep fresh init
+        return out
+    if hasattr(restored, "shape") and tuple(restored.shape) == tuple(template.shape):
+        return restored.astype(template.dtype)
+    warnings.warn(
+        f"warm start: shape mismatch at {path or '<root>'} "
+        f"(ckpt {getattr(restored, 'shape', None)} vs model {template.shape}) "
+        f"— keeping fresh initialization for it", stacklevel=2)
+    return template

@@ -96,3 +96,61 @@ def test_recorder_jsonl(tmp_path):
     rows = [json.loads(l) for l in open(r.jsonl_path)]
     assert rows[-1]["step"] == 20
     assert rows[-1]["loss"] == pytest.approx(0.75)
+
+
+def test_warm_start_partial_merge(tmp_path):
+    """Coarse-only pretrained weights warm-start a coarse+fine model (the
+    reference's `pretrain nerf` staging); fine field keeps fresh init."""
+    import warnings
+
+    import numpy as np
+
+    from panopticnerf_tpu.config import Config
+    from panopticnerf_tpu.models import init_params, make_network
+    from panopticnerf_tpu.train import make_train_state
+    from panopticnerf_tpu.train.checkpoint import load_network, save_model
+
+    def cfg_with(n_imp):
+        cfg = Config()
+        cfg.model.trunk_depth = 2
+        cfg.model.trunk_width = 16
+        cfg.model.color_width = 8
+        cfg.model.num_classes = 4
+        cfg.render.n_importance = n_imp
+        return cfg
+
+    cfg1 = cfg_with(0)
+    m1 = make_network(cfg1)
+    p1 = init_params(m1, jax.random.key(1))
+    s1 = make_train_state(cfg1, m1, p1)
+    d = str(tmp_path / "stage1")
+    save_model(s1, d, 5)
+
+    cfg2 = cfg_with(4)  # coarse+fine
+    m2 = make_network(cfg2)
+    p2 = init_params(m2, jax.random.key(2))
+    merged, step = load_network(p2, d, strict=False)
+    assert step == 5
+    # coarse field copied from the checkpoint...
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["coarse"]["trunk_0"]["kernel"]),
+        np.asarray(p1["params"]["coarse"]["trunk_0"]["kernel"]))
+    # ...fine field keeps the fresh init
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["fine"]["trunk_0"]["kernel"]),
+        np.asarray(p2["params"]["fine"]["trunk_0"]["kernel"]))
+
+    # shape mismatch (resized sem head) falls back to template with warning
+    cfg3 = cfg_with(0)
+    cfg3.model.num_classes = 7
+    m3 = make_network(cfg3)
+    p3 = init_params(m3, jax.random.key(3))
+    with pytest.warns(UserWarning, match="shape mismatch"):
+        merged3, _ = load_network(p3, d, strict=False)
+    np.testing.assert_array_equal(
+        np.asarray(merged3["params"]["coarse"]["sem_out"]["kernel"]),
+        np.asarray(p3["params"]["coarse"]["sem_out"]["kernel"]))
+
+    # strict mode still fails loudly on topology mismatch
+    with pytest.raises(Exception):
+        load_network(p2, d, strict=True)

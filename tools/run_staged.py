@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Run the BASELINE staged configs as one chained pipeline.
+
+Reference recipe (SURVEY.md §7 / BASELINE.json): each stage warm-starts
+from the previous stage's weights (`train.init_from`), widening from bare
+RGB to the full panoptic objective:
+
+  1. kitti360_rgb_coarse          geometry+rgb, coarse only
+  2. kitti360_hierarchical_depth  + fine pass + sparse-depth loss
+  3. kitti360_semantic            + dual semantic fields + pseudo-filter
+  4. kitti360_panoptic            full joint panoptic (flagship)
+
+Usage (real data):
+  python tools/run_staged.py --root datasets/KITTI-360 [--steps 2000] [KEY VALUE ...]
+Usage (hardware smoke on the generated mini tree):
+  python tools/run_staged.py --synthesize-tree /tmp/minikitti --steps 50
+
+Per-stage eval metrics are printed and returned; every stage keeps its own
+out/trained_model/<task>/<exp> checkpoints so any stage can be re-run or
+evaluated independently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STAGES = [
+    "kitti360_rgb_coarse",
+    "kitti360_hierarchical_depth",
+    "kitti360_semantic",
+    "kitti360_panoptic",
+]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="staged PanopticNeRF pipeline")
+    p.add_argument("--root", default=None, help="KITTI-360 tree (data.root)")
+    p.add_argument("--synthesize-tree", default=None, metavar="DIR",
+                   help="generate the miniature fake-KITTI tree there and use it "
+                        "(hardware smoke without the real dataset)")
+    p.add_argument("--steps", type=int, default=0,
+                   help="override train.max_steps for every stage (0 = config)")
+    p.add_argument("--stages", type=int, default=len(STAGES),
+                   help="run only the first N stages")
+    p.add_argument("opts", nargs=argparse.REMAINDER,
+                   help="extra KEY VALUE overrides applied to every stage")
+    args = p.parse_args()
+
+    from panopticnerf_tpu import engine
+    from panopticnerf_tpu.config import load_config
+    from panopticnerf_tpu.config.config import merge_from_list
+
+    common = list(args.opts)
+    if args.synthesize_tree:
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from test_kitti360 import make_fake_kitti
+
+        os.makedirs(args.synthesize_tree, exist_ok=True)
+        make_fake_kitti(args.synthesize_tree)
+        common += ["data.root", args.synthesize_tree,
+                   "data.frame_start", "100", "data.frame_num", "3",
+                   "data.test_every", "3", "data.max_primitives", "4",
+                   "data.max_intervals", "4", "data.ratio", "1.0"]
+    elif args.root:
+        common += ["data.root", args.root]
+
+    prev_ckpt = ""
+    results = {}
+    for name in STAGES[: args.stages]:
+        cfg = load_config(os.path.join(REPO, "configs", f"{name}.yaml"))
+        merge_from_list(cfg, common)
+        if args.steps:
+            cfg.train.max_steps = args.steps
+            cfg.train.epochs = max(1, args.steps // cfg.train.ep_iter)
+        cfg.train.resume = False
+        if prev_ckpt:
+            cfg.train.init_from = prev_ckpt
+        print(f"=== stage {name} "
+              f"({'warm from ' + prev_ckpt if prev_ckpt else 'from scratch'}) ===",
+              flush=True)
+        engine.run_train(cfg, max_steps=args.steps or None)
+        res = engine.run_evaluate(cfg)
+        results[name] = {k: v for k, v in res.items()
+                         if isinstance(v, (int, float))}
+        prev_ckpt = cfg.trained_model_dir
+    print("=== staged pipeline summary ===")
+    for name, res in results.items():
+        print(f"  {name}: " + ", ".join(f"{k}={v:.3f}" for k, v in res.items()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
