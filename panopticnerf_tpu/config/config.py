@@ -195,6 +195,12 @@ class ParallelConfig:
     # Number of devices on the data axis; 0 = all available.
     data_parallel: int = 0
     mesh_axis_name: str = "data"
+    # On a >1-device mesh, run the render+loss region under jax.shard_map
+    # (manual SPMD: each device computes its local ray shard, losses are
+    # exact global masked means via psum) so the fused Pallas trunk kernel
+    # stays usable — GSPMD auto-sharding cannot partition its custom call.
+    # False = legacy behavior: force the XLA field on multi-device meshes.
+    kernel_shard_map: bool = True
 
 
 @dataclass

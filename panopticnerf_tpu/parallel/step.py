@@ -30,25 +30,36 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
 
     n_rays must divide evenly by the mesh size (static check).
     """
+    use_shard_map = False
     if mesh.devices.size > 1 and (cfg.model.use_pallas
                                   or cfg.render.use_pallas_intersect):
         # Pallas custom calls under GSPMD auto-sharding are at best
-        # replicated behind all-gathers (negating data parallelism) and
-        # their multi-chip lowering cannot be validated on this setup
-        # (single real chip). The XLA paths are numerically identical and
-        # shard cleanly, so they are forced on >1-device meshes; the
-        # kernels stay on for the single-chip step, where they are benched.
-        warnings.warn(
-            "multi-device mesh: Pallas kernels disabled in the parallel "
-            "train step (XLA paths used; numerics identical). See "
-            "ROADMAP.md (shard_map kernel path pending multi-chip hardware).",
-            stacklevel=2,
-        )
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(cfg.model, use_pallas=False),
-            render=dataclasses.replace(cfg.render, use_pallas_intersect=False),
-        )
+        # replicated behind all-gathers (negating data parallelism), so
+        # they never run under automatic sharding here. Two routes:
+        #   kernel_shard_map=True (default): the render+loss region runs
+        #     under jax.shard_map — manual SPMD, each device applies the
+        #     fused trunk kernel to its local ray shard; losses/stats are
+        #     exact global masked means (psum inside compute_losses), so
+        #     numerics match the single-device step. The intersection
+        #     kernel still falls back to XLA (its grouped reshape does not
+        #     commute with ray sharding); it is a ~4% kernel.
+        #   kernel_shard_map=False: force the XLA field too (legacy).
+        use_shard_map = cfg.parallel.kernel_shard_map and cfg.model.use_pallas
+        if cfg.render.use_pallas_intersect:
+            warnings.warn(
+                "multi-device mesh: Pallas intersection kernel disabled "
+                "(XLA interval path used; numerics identical).",
+                stacklevel=2)
+            cfg = dataclasses.replace(
+                cfg, render=dataclasses.replace(
+                    cfg.render, use_pallas_intersect=False))
+        if cfg.model.use_pallas and not use_shard_map:
+            warnings.warn(
+                "multi-device mesh: Pallas field kernel disabled "
+                "(parallel.kernel_shard_map False; XLA field used).",
+                stacklevel=2)
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, use_pallas=False))
     model = resolve_train_model(cfg, model)
     if cfg.data.views_per_batch > 0 and cfg.data.n_rays % cfg.data.views_per_batch:
         raise ValueError(
@@ -97,12 +108,47 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
         sem_scale = jnp.where(state.step < pretrain_steps, 0.0, 1.0) if sem_gate else 1.0
         bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
 
-        def loss_fn(params):
-            out = render_rays(
-                model, params, batch.rays_o, batch.rays_d, bounds,
-                k_render, cfg, iv=iv, train=True,
-            )
-            return compute_losses(out, batch, cfg, sem_scale=sem_scale)
+        if use_shard_map:
+            # Manual-SPMD render+loss region: each device renders its local
+            # ray shard (the Pallas trunk kernel never sees the mesh);
+            # compute_losses(axis_name=...) makes every reduction the exact
+            # global value, and shard_map's transpose psums the parameter
+            # cotangents — gradients match the single-device step.
+            ray = P(axis)
+            b_specs = type(batch)(*([ray] * len(batch)))
+            iv_specs = type(iv)(*([ray] * len(iv))) if iv is not None else None
+
+            def local_loss(params, b, ivx, bnds, k_r, s_scale):
+                # decorrelate per-device stratified jitter
+                k_loc = jax.random.fold_in(k_r, jax.lax.axis_index(axis))
+                out = render_rays(model, params, b.rays_o, b.rays_d, bnds,
+                                  k_loc, cfg, iv=ivx, train=True)
+                return compute_losses(out, b, cfg, sem_scale=s_scale,
+                                      axis_name=axis)
+
+            s_arr = jnp.asarray(sem_scale, jnp.float32)
+            if iv is not None:
+                smap = jax.shard_map(
+                    local_loss, mesh=mesh,
+                    in_specs=(P(), b_specs, iv_specs, P(), P(), P()),
+                    out_specs=P(), check_vma=False,
+                )
+                loss_fn = lambda p: smap(p, batch, iv, bounds, k_render, s_arr)
+            else:
+                smap = jax.shard_map(
+                    lambda p, b, bnds, k_r, ss: local_loss(p, b, None, bnds, k_r, ss),
+                    mesh=mesh,
+                    in_specs=(P(), b_specs, P(), P(), P()),
+                    out_specs=P(), check_vma=False,
+                )
+                loss_fn = lambda p: smap(p, batch, bounds, k_render, s_arr)
+        else:
+            def loss_fn(params):
+                out = render_rays(
+                    model, params, batch.rays_o, batch.rays_d, bounds,
+                    k_render, cfg, iv=iv, train=True,
+                )
+                return compute_losses(out, batch, cfg, sem_scale=sem_scale)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)

@@ -21,6 +21,7 @@ serves both stages.
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 
 from panopticnerf_tpu.config import Config
@@ -28,9 +29,19 @@ from panopticnerf_tpu.data.dataset import RayBatch
 from panopticnerf_tpu.render.renderer import RenderOut
 
 
-def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray,
+                 axis_name: str | None = None) -> jnp.ndarray:
+    """Masked mean; with `axis_name`, the GLOBAL masked mean across the
+    named mesh axis (psum of numerator and denominator separately — a mean
+    of per-shard masked means would weight shards with more masked-out
+    elements wrongly). Exactness across shardings is what lets the
+    shard_map train path reproduce single-device numerics bitwise."""
     m = mask.astype(x.dtype)
-    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num, den = jnp.sum(x * m), jnp.sum(m)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def _log_softmax(logits: jnp.ndarray) -> jnp.ndarray:
@@ -59,32 +70,39 @@ def compute_losses(
     batch: RayBatch,
     cfg: Config,
     sem_scale: jnp.ndarray | float = 1.0,
+    axis_name: str | None = None,
 ):
-    """Returns (total_loss, stats dict of scalars)."""
+    """Returns (total_loss, stats dict of scalars).
+
+    With `axis_name` (inside shard_map over a mesh axis), every reduction
+    is the exact GLOBAL value — loss, grads, and stats match the
+    single-device computation bitwise for the same global batch.
+    """
     lc = cfg.loss
     num_classes = cfg.model.num_classes
     stats = {}
+    _mm = lambda x, m: _masked_mean(x, m, axis_name)
 
     ray_ok = batch.valid  # e.g. inside the fisheye image circle
 
     # --- RGB (fine + coarse, as in hierarchical NeRF) ---
     sq = jnp.mean((out.rgb - batch.rgb) ** 2, axis=-1)
-    l_rgb = _masked_mean(sq, ray_ok)
+    l_rgb = _mm(sq, ray_ok)
     if out.coarse is not None:
-        l_rgb = l_rgb + _masked_mean(
+        l_rgb = l_rgb + _mm(
             jnp.mean((out.coarse.rgb - batch.rgb) ** 2, axis=-1), ray_ok
         )
     stats["loss_rgb"] = l_rgb
-    mse_fine = _masked_mean(sq, ray_ok)
+    mse_fine = _mm(sq, ray_ok)
     stats["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse_fine, 1e-10))
     total = lc.rgb_weight * l_rgb
 
     # --- sparse depth L1 ---
     if lc.depth_weight > 0:
         valid = (batch.depth > 0) & ray_ok
-        l_depth = _masked_mean(jnp.abs(out.depth - batch.depth), valid)
+        l_depth = _mm(jnp.abs(out.depth - batch.depth), valid)
         if out.coarse is not None:
-            l_depth = l_depth + _masked_mean(jnp.abs(out.coarse.depth - batch.depth), valid)
+            l_depth = l_depth + _mm(jnp.abs(out.coarse.depth - batch.depth), valid)
         stats["loss_depth"] = l_depth
         total = total + lc.depth_weight * l_depth
 
@@ -101,7 +119,8 @@ def compute_losses(
             keep = has_pseudo & (consistent | ~ray_has_prims)
         else:
             keep = has_pseudo
-        stats["filter_keep_frac"] = jnp.mean(keep.astype(jnp.float32))
+        stats["filter_keep_frac"] = _mm(keep.astype(jnp.float32),
+                                        jnp.ones_like(keep))
 
         # fixed-field 2D CE — only where the ray actually crosses primitives
         # (this is the geometry-shaping loss: gradients flow into density).
@@ -113,7 +132,7 @@ def compute_losses(
             fix_keep = has_pseudo & ray_has_prims
             if lc.filter_fix2d:
                 fix_keep = fix_keep & keep
-            l_fix = _masked_mean(ce_fix, fix_keep)
+            l_fix = _mm(ce_fix, fix_keep)
             stats["loss_sem_fix2d"] = l_fix
             total = total + sem_scale * lc.fix2d_weight * l_fix
     else:
@@ -121,7 +140,7 @@ def compute_losses(
 
     if out.sem_logits is not None and lc.sem2d_weight > 0:
         ce2d = cross_entropy_logits(out.sem_logits, batch.pseudo)
-        l_sem2d = _masked_mean(ce2d, keep)
+        l_sem2d = _mm(ce2d, keep)
         stats["loss_sem2d"] = l_sem2d
         total = total + sem_scale * lc.sem2d_weight * l_sem2d
 
@@ -149,7 +168,7 @@ def compute_losses(
             / jnp.maximum(cnt, 1.0)[..., None]
         )                                                           # (N, S, C)
         ce3d = -jnp.sum(target * _log_softmax(logits), axis=-1)     # (N, S)
-        l_sem3d = _masked_mean(ce3d, cnt > 0)
+        l_sem3d = _mm(ce3d, cnt > 0)
         stats["loss_sem3d"] = l_sem3d
         total = total + sem_scale * lc.sem3d_weight * l_sem3d
 

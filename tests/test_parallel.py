@@ -128,13 +128,16 @@ def test_sharded_image_render_matches_single():
 
 
 def test_parallel_step_forces_kernels_off():
-    """On a >1-device mesh the Pallas kernel flags are disabled (custom-call
-    partitioning under GSPMD is unverified on multi-chip hardware) and the
-    XLA fallback reproduces the kernels-off numerics exactly."""
+    """With parallel.kernel_shard_map False (legacy escape hatch) the Pallas
+    kernels are disabled on a >1-device mesh and the XLA fallback reproduces
+    the kernels-off numerics exactly. (The intersection kernel always falls
+    back under GSPMD — its grouped reshape does not commute with ray
+    sharding.)"""
     cfg = _cfg()
     cfg.data.views_per_batch = 4
     cfg.model.use_pallas = True
     cfg.render.use_pallas_intersect = True
+    cfg.parallel.kernel_shard_map = False
     ds = build_synthetic_dataset(cfg, seed=0)
     model = make_network(cfg)
     params = init_params(model, jax.random.key(0))
@@ -142,7 +145,7 @@ def test_parallel_step_forces_kernels_off():
     view_ids = jnp.arange(4)
     key = jax.random.key(5)
 
-    with pytest.warns(UserWarning, match="Pallas kernels disabled"):
+    with pytest.warns(UserWarning, match="kernel disabled"):
         par = make_parallel_train_step(cfg, model, mesh, donate=False)
     s1, stats1 = par(make_train_state(cfg, model, params), ds, view_ids, key)
 
@@ -156,3 +159,56 @@ def test_parallel_step_forces_kernels_off():
     a = jax.tree.leaves(s1.params)[0]
     b = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_shard_map_kernel_step_matches_single_device():
+    """With kernel_shard_map (default), use_pallas stays ON across the mesh
+    via a manual-SPMD region. With perturb off (deterministic sampling) the
+    loss/params must match the single-device kernel step to float tolerance
+    (losses are exact global masked means via psum)."""
+    cfg = _cfg()
+    cfg.data.views_per_batch = 4
+    cfg.model.use_pallas = True
+    cfg.render.perturb = False
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    view_ids = jnp.arange(4)
+    key = jax.random.key(5)
+
+    single = make_train_step(cfg, model, donate=False)
+    s1, stats1 = single(make_train_state(cfg, model, params), ds, view_ids, key)
+
+    mesh = make_mesh(cfg)
+    par = make_parallel_train_step(cfg, model, mesh, donate=False)
+    s2, stats2 = par(make_train_state(cfg, model, params), ds, view_ids, key)
+
+    np.testing.assert_allclose(float(stats1["loss_total"]),
+                               float(stats2["loss_total"]), rtol=1e-5)
+    for k in stats1:
+        np.testing.assert_allclose(float(stats1[k]), float(stats2[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    a = jnp.concatenate([x.ravel() for x in jax.tree.leaves(s1.params)])
+    b = jnp.concatenate([x.ravel() for x in jax.tree.leaves(s2.params)])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_shard_map_kernel_step_trains():
+    """Perturb ON (per-device decorrelated jitter): the shard_map kernel
+    step must train (finite, decreasing loss)."""
+    cfg = _cfg()
+    cfg.data.views_per_batch = 4
+    cfg.model.use_pallas = True
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    mesh = make_mesh(cfg)
+    state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+    step = make_parallel_train_step(cfg, model, mesh, donate=False)
+    key = jax.random.key(0)
+    losses = []
+    for i in range(15):
+        key, sub = jax.random.split(key)
+        state, stats = step(state, ds, jnp.arange(4), sub)
+        losses.append(float(stats["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
