@@ -65,13 +65,25 @@ def _eval_model(cfg: Config, model):
     return model
 
 
-def _render_view(cfg: Config, model, params, ds, view: int):
+def _eval_mesh(cfg: Config):
+    """Mesh for eval-time full-image rendering when >1 device is visible."""
+    n_dev = cfg.parallel.data_parallel or jax.device_count()
+    if n_dev <= 1:
+        return None
+    from panopticnerf_tpu.parallel import make_mesh
+
+    return make_mesh(cfg)
+
+
+def _render_view(cfg: Config, model, params, ds, view: int, mesh=None):
     model = _eval_model(cfg, model)
     o, d = view_rays(ds, view)
     iv = None
     if cfg.render.use_primitives:
         prims = view_primitives(ds, view)
-        if cfg.render.use_pallas_intersect:
+        # The Pallas intersect kernel is single-device only (its custom
+        # call cannot be partitioned by GSPMD) — XLA path on a mesh.
+        if cfg.render.use_pallas_intersect and mesh is None:
             from panopticnerf_tpu.ops.pallas_intersect import intersect_rays_pallas
 
             iv = intersect_rays_pallas(
@@ -83,12 +95,18 @@ def _render_view(cfg: Config, model, params, ds, view: int):
             iv = intersect_rays(o, d, prims, cfg.render.near, cfg.render.far,
                                 cfg.data.max_intervals)
     bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+    if mesh is not None:
+        from panopticnerf_tpu.parallel import render_image_rays_sharded
+
+        return render_image_rays_sharded(model, params, o, d, bounds, cfg,
+                                         mesh, iv=iv)
     return render_image_rays(model, params, o, d, bounds, cfg, iv=iv)
 
 
 def evaluate_views(cfg: Config, model, params, ds, view_ids) -> dict:
     ev = make_evaluator(cfg)
-    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v))
+    mesh = _eval_mesh(cfg)
+    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v, mesh=mesh))
     for view in view_ids:
         out = render(params, int(view))
         gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
@@ -250,7 +268,8 @@ def run_evaluate(cfg: Config, log=print) -> dict:
     test views."""
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
     ev = make_evaluator(cfg)
-    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v))
+    mesh = _eval_mesh(cfg)
+    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v, mesh=mesh))
 
     sem_views = []
     if ds.gt_sem is not None:
@@ -343,7 +362,8 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
     viz = Visualizer(cfg)
     ev = make_evaluator(cfg)
-    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v))
+    mesh = _eval_mesh(cfg)
+    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v, mesh=mesh))
     written = []
     h, w = ds.images.shape[1:3]
     for view in test_ids:
