@@ -312,9 +312,13 @@ def main():
     # best-ever-observed baseline on THIS setup supports. TINY/FAST runs
     # neither use nor update the floor (different shape / too few iters).
     floor = 0.0
-    if not (TINY or FAST):
+    if not TINY:
         floor = read_floor()
-        if base_rps > floor:
+        # Only full-length runs may RAISE the floor (FAST medians are too
+        # few iters to trust), but every non-TINY run APPLIES it — without
+        # it a slow-relay FAST invocation would print an RTT-inflated
+        # headline far outside the honest band.
+        if not FAST and base_rps > floor:
             floor = base_rps
             update_floor(base_rps)
     denom = max(base_rps, floor)

@@ -75,14 +75,16 @@ def _eval_mesh(cfg: Config):
     return make_mesh(cfg)
 
 
-def _render_view(cfg: Config, model, params, ds, view: int, mesh=None):
+def _intersect_and_render(cfg: Config, model, params, o, d, prims, bounds,
+                          mesh=None):
+    """Shared tail of every full-image render: interval intersection
+    (Pallas kernel single-device only — its custom call cannot be
+    partitioned by GSPMD) then the tiled render, mesh-sharded when given.
+    Used by per-view eval/visualize renders AND trajectory frames so the
+    render contract lives in one place."""
     model = _eval_model(cfg, model)
-    o, d = view_rays(ds, view)
     iv = None
     if cfg.render.use_primitives:
-        prims = view_primitives(ds, view)
-        # The Pallas intersect kernel is single-device only (its custom
-        # call cannot be partitioned by GSPMD) — XLA path on a mesh.
         if cfg.render.use_pallas_intersect and mesh is None:
             from panopticnerf_tpu.ops.pallas_intersect import intersect_rays_pallas
 
@@ -94,7 +96,6 @@ def _render_view(cfg: Config, model, params, ds, view: int, mesh=None):
         else:
             iv = intersect_rays(o, d, prims, cfg.render.near, cfg.render.far,
                                 cfg.data.max_intervals)
-    bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
     if mesh is not None:
         from panopticnerf_tpu.parallel import render_image_rays_sharded
 
@@ -103,10 +104,19 @@ def _render_view(cfg: Config, model, params, ds, view: int, mesh=None):
     return render_image_rays(model, params, o, d, bounds, cfg, iv=iv)
 
 
-def evaluate_views(cfg: Config, model, params, ds, view_ids) -> dict:
+def _render_view(cfg: Config, model, params, ds, view: int, mesh=None):
+    o, d = view_rays(ds, view)
+    prims = view_primitives(ds, view) if cfg.render.use_primitives else None
+    bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
+    return _intersect_and_render(cfg, model, params, o, d, prims, bounds,
+                                 mesh=mesh)
+
+
+def evaluate_views(cfg: Config, model, params, ds, view_ids, render=None) -> dict:
     ev = make_evaluator(cfg)
-    mesh = _eval_mesh(cfg)
-    render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v, mesh=mesh))
+    if render is None:
+        mesh = _eval_mesh(cfg)
+        render = jax.jit(lambda p, v: _render_view(cfg, model, p, ds, v, mesh=mesh))
     for view in view_ids:
         out = render(params, int(view))
         gt_rgb = np.asarray(ds.images[view], np.float32).reshape(-1, 3) / 255.0
@@ -187,58 +197,75 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
         preempted["flag"] = True
 
     prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    # Build the in-train eval render ONCE (a fresh jit per eval cadence
+    # would retrace the full-image renderer every eval_ep).
+    eval_render = [None]
 
-    for step in range(start_step, total_steps):
-        if preempted["flag"]:
-            log(f"SIGTERM received: checkpointing at step {step} and exiting")
-            save_model(state, ckpt_dir, step)
-            signal.signal(signal.SIGTERM, prev_handler)
-            recorder.close()
-            return {"state": state, "model": model, "ds": ds,
-                    "test_ids": test_ids, "metrics": last_metrics,
-                    "preempted": True}
-        if streamer is not None and step > 0 and step % cfg.data.stream_refresh_steps == 0:
-            ds, _ = streamer.advance()
-        state, stats = step_fn(state, ds, view_ids, key)
-        rays_done += cfg.data.n_rays
-        if (step + 1) % tc.log_interval == 0:
-            # ONE stacked readback: per-scalar float() costs a full relay
-            # round-trip each (~35 ms x ~10 stats halved the observed
-            # in-loop rays/s vs the benched step rate).
-            names = sorted(stats)
-            vals = np.asarray(jnp.stack([jnp.asarray(stats[k], jnp.float32)
-                                         for k in names]))
-            scal = dict(zip(names, (float(v) for v in vals)))
-            dt = time.time() - t0
-            scal["rays_per_sec"] = rays_done / max(dt, 1e-9)
-            recorder.update(scal, step=step + 1)
-            t0 = time.time()
-            rays_done = 0
-            last_metrics = scal
-        if (step + 1) % tc.record_interval == 0:
-            recorder.record("train")
-            epoch = (step + 1) // tc.ep_iter
-            log(recorder.log_line(epoch, tc.epochs, float(make_lr(cfg)(step))))
-        if (step + 1) % (tc.save_ep * tc.ep_iter) == 0 or step + 1 == total_steps:
-            save_model(state, ckpt_dir, step + 1)
-        if (step + 1) % (tc.eval_ep * tc.ep_iter) == 0:
-            res = evaluate_views(cfg, model, state.params, eval_ds, test_ids[:2])
-            log(f"eval@{step + 1}: " + ", ".join(
-                f"{k}={v:.3f}" for k, v in res.items() if np.isscalar(v)))
-            # Metric-selected checkpoint (train.save_best): mIoU governs when
-            # semantics are evaluated (the label-transfer task's headline),
-            # PSNR otherwise. Restore with `train.eval_step -1`.
-            val = res.get("miou", res.get("psnr"))
-            if tc.save_best and val is not None and float(val) > best_val:
-                best_val = float(val)
-                save_model(state, os.path.join(ckpt_dir, "best"), step + 1,
-                           max_to_keep=1)
-                import json
+    def _eval_now(params_now):
+        if eval_render[0] is None:
+            m = _eval_mesh(cfg)
+            eval_render[0] = jax.jit(
+                lambda p, v: _render_view(cfg, model, p, eval_ds, v, mesh=m))
+        return evaluate_views(cfg, model, params_now, eval_ds, test_ids[:2],
+                              render=eval_render[0])
 
-                with open(best_meta_path, "w") as f:
-                    json.dump({"value": best_val, "step": step + 1}, f)
-                log(f"new best eval metric {best_val:.4f} -> saved best@{step + 1}")
-    save_model(state, ckpt_dir, total_steps)
+    try:
+        for step in range(start_step, total_steps):
+            if preempted["flag"]:
+                log(f"SIGTERM received: checkpointing at step {step} and exiting")
+                save_model(state, ckpt_dir, step)
+                recorder.close()
+                return {"state": state, "model": model, "ds": ds,
+                        "test_ids": test_ids, "metrics": last_metrics,
+                        "preempted": True}
+            if streamer is not None and step > 0 and step % cfg.data.stream_refresh_steps == 0:
+                ds, _ = streamer.advance()
+            state, stats = step_fn(state, ds, view_ids, key)
+            rays_done += cfg.data.n_rays
+            if (step + 1) % tc.log_interval == 0:
+                # ONE stacked readback: per-scalar float() costs a full relay
+                # round-trip each (~35 ms x ~10 stats halved the observed
+                # in-loop rays/s vs the benched step rate).
+                names = sorted(stats)
+                vals = np.asarray(jnp.stack([jnp.asarray(stats[k], jnp.float32)
+                                             for k in names]))
+                scal = dict(zip(names, (float(v) for v in vals)))
+                dt = time.time() - t0
+                scal["rays_per_sec"] = rays_done / max(dt, 1e-9)
+                recorder.update(scal, step=step + 1)
+                t0 = time.time()
+                rays_done = 0
+                last_metrics = scal
+            if (step + 1) % tc.record_interval == 0:
+                recorder.record("train")
+                epoch = (step + 1) // tc.ep_iter
+                log(recorder.log_line(epoch, tc.epochs, float(make_lr(cfg)(step))))
+            if (step + 1) % (tc.save_ep * tc.ep_iter) == 0 or step + 1 == total_steps:
+                save_model(state, ckpt_dir, step + 1)
+            if (step + 1) % (tc.eval_ep * tc.ep_iter) == 0:
+                res = _eval_now(state.params)
+                log(f"eval@{step + 1}: " + ", ".join(
+                    f"{k}={v:.3f}" for k, v in res.items() if np.isscalar(v)))
+                # Metric-selected checkpoint (train.save_best): mIoU governs when
+                # semantics are evaluated (the label-transfer task's headline),
+                # PSNR otherwise. Restore with `train.eval_step -1`.
+                val = res.get("miou", res.get("psnr"))
+                if tc.save_best and val is not None and float(val) > best_val:
+                    best_val = float(val)
+                    save_model(state, os.path.join(ckpt_dir, "best"), step + 1,
+                               max_to_keep=1)
+                    import json
+
+                    with open(best_meta_path, "w") as f:
+                        json.dump({"value": best_val, "step": step + 1}, f)
+                    log(f"new best eval metric {best_val:.4f} -> saved best@{step + 1}")
+        save_model(state, ckpt_dir, total_steps)
+    finally:
+        # Always restore the previous SIGTERM handler — callers like
+        # tools/run_staged.py invoke run_train repeatedly in one process,
+        # and a stale handler (closing over a dead `preempted` dict) would
+        # silently swallow real preemption signals between stages.
+        signal.signal(signal.SIGTERM, prev_handler)
     recorder.close()
     return {"state": state, "model": model, "ds": eval_ds, "test_ids": test_ids,
             "metrics": last_metrics}
@@ -325,7 +352,8 @@ def _trajectory_poses(ds, n_frames: int):
     return out
 
 
-def render_trajectory(cfg: Config, model, params, ds, n_frames: int):
+def render_trajectory(cfg: Config, model, params, ds, n_frames: int,
+                      mesh=None):
     """Render novel interpolated poses (the reference's demo-video path).
 
     Intrinsics and the visible-primitive table come from the nearest
@@ -335,7 +363,6 @@ def render_trajectory(cfg: Config, model, params, ds, n_frames: int):
     """
     from panopticnerf_tpu.ops.rays import gen_rays_perspective
 
-    model = _eval_model(cfg, model)
     h, w = ds.images.shape[1:3]
     vv, uu = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(jnp.float32) + 0.5
@@ -344,11 +371,9 @@ def render_trajectory(cfg: Config, model, params, ds, n_frames: int):
     @jax.jit
     def render_pose(params, K, c2w, view):
         o, d = gen_rays_perspective(uv, K, c2w)
-        iv = None
-        if cfg.render.use_primitives:
-            iv = intersect_rays(o, d, view_primitives(ds, view), cfg.render.near,
-                                cfg.render.far, cfg.data.max_intervals)
-        return render_image_rays(model, params, o, d, bounds, cfg, iv=iv)
+        prims = view_primitives(ds, view) if cfg.render.use_primitives else None
+        return _intersect_and_render(cfg, model, params, o, d, prims, bounds,
+                                     mesh=mesh)
 
     for i, (pose, near_view) in enumerate(_trajectory_poses(ds, n_frames)):
         yield i, near_view, render_pose(params, ds.K[near_view],
@@ -376,7 +401,7 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
         # Novel-pose demo video: smooth path through the training poses
         # (ids 2e6+ so the frames sort after the per-view outputs).
         for i, near_view, out in render_trajectory(cfg, model, params, ds,
-                                                   trajectory):
+                                                   trajectory, mesh=mesh):
             sem_t, inst_t = ev.evaluate(out)
             written += viz.write_view(2_000_000 + i, out, (h, w),
                                       sem=sem_t, inst=inst_t)

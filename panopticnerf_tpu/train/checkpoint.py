@@ -87,11 +87,25 @@ def load_network(params_template, directory: str, step: Optional[int] = None,
             params = jax.tree.map(lambda t, x: x.astype(t.dtype),
                                   params_template, params)
         else:
-            params = _merge_params(params_template, params)
+            copied = [0]
+            params = _merge_params(params_template, params, copied=copied)
+            total = len(jax.tree.leaves(params_template))
+            if copied[0] == 0:
+                raise ValueError(
+                    f"warm start from {directory}: no checkpoint leaf matched "
+                    f"the model's parameter tree (0/{total}) — wrong "
+                    f"experiment directory or incompatible model")
+            if copied[0] < total:
+                import warnings
+
+                warnings.warn(
+                    f"warm start from {directory}: merged {copied[0]}/{total} "
+                    f"leaves; the rest keep fresh initialization",
+                    stacklevel=2)
     return params, target
 
 
-def _merge_params(template, restored, path: str = ""):
+def _merge_params(template, restored, path: str = "", copied=None):
     """Copy every checkpoint leaf whose path+shape matches the template;
     keep the template (fresh init) elsewhere.
 
@@ -108,11 +122,13 @@ def _merge_params(template, restored, path: str = ""):
         out = {}
         for k, t in template.items():
             if isinstance(restored, dict) and k in restored:
-                out[k] = _merge_params(t, restored[k], f"{path}/{k}")
+                out[k] = _merge_params(t, restored[k], f"{path}/{k}", copied)
             else:
                 out[k] = t  # absent from checkpoint: keep fresh init
         return out
     if hasattr(restored, "shape") and tuple(restored.shape) == tuple(template.shape):
+        if copied is not None:
+            copied[0] += 1
         return restored.astype(template.dtype)
     warnings.warn(
         f"warm start: shape mismatch at {path or '<root>'} "

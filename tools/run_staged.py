@@ -55,31 +55,37 @@ def main() -> int:
     from panopticnerf_tpu.config import load_config
     from panopticnerf_tpu.config.config import merge_from_list
 
-    common = list(args.opts)
+    # Presets first, user opts LAST — merge_from_list is last-wins, so a
+    # user override always beats the synthesize-tree defaults.
+    presets = []
     if args.synthesize_tree:
         sys.path.insert(0, os.path.join(REPO, "tests"))
         from test_kitti360 import make_fake_kitti
 
         os.makedirs(args.synthesize_tree, exist_ok=True)
         make_fake_kitti(args.synthesize_tree)
-        common += ["data.root", args.synthesize_tree,
+        presets = ["data.root", args.synthesize_tree,
                    "data.frame_start", "100", "data.frame_num", "3",
                    "data.test_every", "3", "data.max_primitives", "4",
                    "data.max_intervals", "4", "data.ratio", "1.0"]
     elif args.root:
-        common += ["data.root", args.root]
+        presets = ["data.root", args.root]
+    common = presets + list(args.opts)
+    user_keys = set(args.opts[::2])
 
     prev_ckpt = ""
     results = {}
     for name in STAGES[: args.stages]:
         cfg = load_config(os.path.join(REPO, "configs", f"{name}.yaml"))
+        # Stage defaults (fresh run, warm-chained) go BEFORE the merge so
+        # explicit user opts (train.resume / train.init_from) win.
+        cfg.train.resume = False
+        if prev_ckpt and "train.init_from" not in user_keys:
+            cfg.train.init_from = prev_ckpt
         merge_from_list(cfg, common)
         if args.steps:
             cfg.train.max_steps = args.steps
             cfg.train.epochs = max(1, args.steps // cfg.train.ep_iter)
-        cfg.train.resume = False
-        if prev_ckpt:
-            cfg.train.init_from = prev_ckpt
         print(f"=== stage {name} "
               f"({'warm from ' + prev_ckpt if prev_ckpt else 'from scratch'}) ===",
               flush=True)
