@@ -60,6 +60,9 @@ cfg.render.n_importance = 0
 cfg.render.near = 0.5
 cfg.render.far = 40.0
 cfg.render.use_primitives = True
+if os.environ.get("TEST_USE_PALLAS") == "1":
+    # shard_map kernel route across the process boundary (interpret mode)
+    cfg.model.use_pallas = True
 
 mesh = Mesh(np.array(jax.devices()), ("data",))
 ds = build_synthetic_dataset(cfg, seed=0)       # identical on every process
@@ -81,7 +84,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_data_parallel_step(tmp_path):
+def _run_pair(tmp_path, use_pallas: bool):
     script = tmp_path / "child.py"
     script.write_text(CHILD)
     port = _free_port()
@@ -94,6 +97,7 @@ def test_two_process_data_parallel_step(tmp_path):
         JAX_NUM_PROCESSES="2",
         JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
         PYTHONPATH=REPO,
+        TEST_USE_PALLAS="1" if use_pallas else "0",
     )
     procs = [
         subprocess.Popen(
@@ -119,3 +123,14 @@ def test_two_process_data_parallel_step(tmp_path):
     assert results["0"] == results["1"], results
     loss0 = float(results["0"][0].split("=")[1])
     assert loss0 > 0 and loss0 < 1e4
+
+
+def test_two_process_data_parallel_step(tmp_path):
+    _run_pair(tmp_path, use_pallas=False)
+
+
+def test_two_process_shard_map_kernel_step(tmp_path):
+    """The shard_map field-kernel route must also hold across PROCESS
+    boundaries (gloo collectives carry both the in-loss psums and the
+    parameter-cotangent psum of the shard_map transpose)."""
+    _run_pair(tmp_path, use_pallas=True)
