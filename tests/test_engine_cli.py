@@ -177,3 +177,30 @@ def test_trajectory_visualize(tmp_path):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
         assert np.linalg.det(R) > 0
     np.testing.assert_allclose(poses[0][0], np.asarray(ds.c2w[0]), atol=1e-5)
+
+
+def test_trajectory_poses_filter_fisheye():
+    """Mixed perspective+fisheye datasets interpolate over perspective poses
+    only (fisheye extrinsics jump sideways and would wreck the path)."""
+    import numpy as np
+
+    from panopticnerf_tpu.data import make_dataset
+    from panopticnerf_tpu.engine import _trajectory_poses
+
+    cfg = Config()
+    cfg.data.synthetic_image_hw = (16, 24)
+    cfg.data.synthetic_num_frames = 4
+    cfg.data.synthetic_fisheye = True
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 16
+    cfg.model.color_width = 8
+    cfg.model.num_classes = 4
+    cfg.render.use_primitives = True
+    ds, _, _ = make_dataset(cfg)
+    assert ds.cam_model is not None
+    persp = np.nonzero(np.asarray(ds.cam_model) == 0)[0]
+    poses = _trajectory_poses(ds, 6)
+    for c2w, near in poses:
+        assert near in persp  # nearest view is always a pinhole view
+        np.testing.assert_allclose(c2w[:, :3] @ c2w[:, :3].T, np.eye(3),
+                                   atol=1e-5)
