@@ -82,10 +82,21 @@ def main() -> int:
         cfg.train.resume = False
         if prev_ckpt and "train.init_from" not in user_keys:
             cfg.train.init_from = prev_ckpt
+            # The chain IS the geometry pretrain: warm-started stages run
+            # joint from step 0. Leaving the in-run `pretrain nerf` gate on
+            # would zero the semantic losses for pretrain_steps (20k) —
+            # with a shortened --steps that silently trains no semantics.
+            if cfg.train.pretrain and "train.pretrain" not in user_keys:
+                cfg.train.pretrain = ""
         merge_from_list(cfg, common)
         if args.steps:
             cfg.train.max_steps = args.steps
             cfg.train.epochs = max(1, args.steps // cfg.train.ep_iter)
+            if cfg.train.pretrain and cfg.train.pretrain_steps >= args.steps:
+                # un-chained short run: split geometry/joint halves
+                cfg.train.pretrain_steps = args.steps // 2
+                print(f"  (pretrain_steps scaled to {cfg.train.pretrain_steps} "
+                      f"to fit --steps {args.steps})", flush=True)
         print(f"=== stage {name} "
               f"({'warm from ' + prev_ckpt if prev_ckpt else 'from scratch'}) ===",
               flush=True)
