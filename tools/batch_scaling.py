@@ -36,24 +36,26 @@ def main():
     state = make_train_state(base, model, init_params(model, jax.random.key(0)))
     view_ids = jnp.arange(int(ds.images.shape[0]))
     key = jax.random.key(0)
-    leafsum = lambda t: sum(jnp.sum(l) for l in jax.tree.leaves(t)
-                            if jnp.issubdtype(l.dtype, jnp.floating))
 
+    # Time the jitted step directly (ds/view_ids are traced args — no outer
+    # jit, which would bake the whole dataset into each executable as
+    # constants); timed() syncs via value readback per the relay protocol.
     fns = {}
     for n in (2048, 4096, 8192, 16384):
         cfg = dataclasses.replace(
             base, data=dataclasses.replace(base.data, n_rays=n))
         step = make_train_step(cfg, model, donate=False)
-        fn = jax.jit(lambda st, s=step: leafsum(s(st, ds, view_ids, key)[0].params))
-        timed(fn, state, iters=3, warmup=2)
-        fns[n] = fn
+        timed(step, state, ds, view_ids, key, iters=3, warmup=2)
+        fns[n] = step
 
     rounds = int(os.environ.get("BS_ROUNDS", "3"))
     res = {k: [] for k in fns}
     for _ in range(rounds):
         for k in fns:
             iters = max(8, 30 * 2048 // k)
-            res[k].append(timed(fns[k], state, iters=iters, warmup=1) * 1e3)
+            res[k].append(
+                timed(fns[k], state, ds, view_ids, key,
+                      iters=iters, warmup=1) * 1e3)
     for n, v in res.items():
         ms = float(np.median(v))
         print(f"n_rays={n:6d}  {ms:8.3f} ms/step  {n / ms * 1e3:10.0f} rays/s",

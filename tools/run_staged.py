@@ -37,6 +37,43 @@ STAGES = [
 ]
 
 
+def stage_cfg(name, prev_ckpt, steps, common, user_keys):
+    """Derive one stage's config. Pure (no training) so tests can assert the
+    precedence rules: presets < stage defaults < explicit user opts.
+
+    Returns (cfg, notes) where notes are human-readable derivation notes.
+    """
+    from panopticnerf_tpu.config import load_config
+    from panopticnerf_tpu.config.config import merge_from_list
+
+    notes = []
+    cfg = load_config(os.path.join(REPO, "configs", f"{name}.yaml"))
+    # Stage defaults (fresh run, warm-chained) go BEFORE the merge so
+    # explicit user opts (train.resume / train.init_from / pretrain) win.
+    cfg.train.resume = False
+    if prev_ckpt and "train.init_from" not in user_keys:
+        cfg.train.init_from = prev_ckpt
+        # The chain IS the geometry pretrain: warm-started stages run
+        # joint from step 0. Leaving the in-run `pretrain nerf` gate on
+        # would zero the semantic losses for pretrain_steps (20k) — with
+        # a shortened --steps that silently trains no semantics.
+        if cfg.train.pretrain and "train.pretrain" not in user_keys:
+            cfg.train.pretrain = ""
+            notes.append("warm-chained: in-run pretrain gate dropped")
+    merge_from_list(cfg, common)
+    if steps:
+        cfg.train.max_steps = steps
+        cfg.train.epochs = max(1, steps // cfg.train.ep_iter)
+        if (cfg.train.pretrain and cfg.train.pretrain_steps >= steps
+                and "train.pretrain_steps" not in user_keys
+                and "pretrain_steps" not in user_keys):
+            # un-chained short run: split geometry/joint halves
+            cfg.train.pretrain_steps = steps // 2
+            notes.append(f"pretrain_steps scaled to {cfg.train.pretrain_steps} "
+                         f"to fit --steps {steps}")
+    return cfg, notes
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description="staged PanopticNeRF pipeline")
     p.add_argument("--root", default=None, help="KITTI-360 tree (data.root)")
@@ -52,8 +89,6 @@ def main() -> int:
     args = p.parse_args()
 
     from panopticnerf_tpu import engine
-    from panopticnerf_tpu.config import load_config
-    from panopticnerf_tpu.config.config import merge_from_list
 
     # Presets first, user opts LAST — merge_from_list is last-wins, so a
     # user override always beats the synthesize-tree defaults.
@@ -76,30 +111,12 @@ def main() -> int:
     prev_ckpt = ""
     results = {}
     for name in STAGES[: args.stages]:
-        cfg = load_config(os.path.join(REPO, "configs", f"{name}.yaml"))
-        # Stage defaults (fresh run, warm-chained) go BEFORE the merge so
-        # explicit user opts (train.resume / train.init_from) win.
-        cfg.train.resume = False
-        if prev_ckpt and "train.init_from" not in user_keys:
-            cfg.train.init_from = prev_ckpt
-            # The chain IS the geometry pretrain: warm-started stages run
-            # joint from step 0. Leaving the in-run `pretrain nerf` gate on
-            # would zero the semantic losses for pretrain_steps (20k) —
-            # with a shortened --steps that silently trains no semantics.
-            if cfg.train.pretrain and "train.pretrain" not in user_keys:
-                cfg.train.pretrain = ""
-        merge_from_list(cfg, common)
-        if args.steps:
-            cfg.train.max_steps = args.steps
-            cfg.train.epochs = max(1, args.steps // cfg.train.ep_iter)
-            if cfg.train.pretrain and cfg.train.pretrain_steps >= args.steps:
-                # un-chained short run: split geometry/joint halves
-                cfg.train.pretrain_steps = args.steps // 2
-                print(f"  (pretrain_steps scaled to {cfg.train.pretrain_steps} "
-                      f"to fit --steps {args.steps})", flush=True)
+        cfg, notes = stage_cfg(name, prev_ckpt, args.steps, common, user_keys)
         print(f"=== stage {name} "
               f"({'warm from ' + prev_ckpt if prev_ckpt else 'from scratch'}) ===",
               flush=True)
+        for n in notes:
+            print(f"  ({n})", flush=True)
         engine.run_train(cfg, max_steps=args.steps or None)
         res = engine.run_evaluate(cfg)
         results[name] = {k: v for k, v in res.items()
