@@ -19,8 +19,12 @@ def parse_args():
     p.add_argument("--trajectory", type=int, default=0,
                    help="N: also render N smoothly interpolated novel poses "
                         "through the training trajectory (visualize only)")
-    p.add_argument("opts", nargs=argparse.REMAINDER)
-    return p.parse_args()
+    # parse_known_args instead of REMAINDER: reference-style KEY VALUE
+    # overrides may be interleaved with flags in any order (REMAINDER would
+    # swallow flags that appear after the first positional token).
+    args, opts = p.parse_known_args()
+    args.opts = opts
+    return args
 
 
 def main():

@@ -105,8 +105,8 @@ def main() -> int:
     p.add_argument("--frame_start", type=int, default=0)
     p.add_argument("--frame_num", type=int, default=64)
     p.add_argument("--frame_step", type=int, default=1)
-    p.add_argument("opts", nargs=argparse.REMAINDER)
-    args = p.parse_args()
+    args, opts = p.parse_known_args()  # flags may follow KEY VALUE opts
+    args.opts = opts
 
     if args.cfg_file:
         from panopticnerf_tpu.config import load_config

@@ -84,9 +84,9 @@ def main() -> int:
                    help="override train.max_steps for every stage (0 = config)")
     p.add_argument("--stages", type=int, default=len(STAGES),
                    help="run only the first N stages")
-    p.add_argument("opts", nargs=argparse.REMAINDER,
-                   help="extra KEY VALUE overrides applied to every stage")
-    args = p.parse_args()
+    # parse_known_args: KEY VALUE overrides may be interleaved with flags.
+    args, opts = p.parse_known_args()
+    args.opts = opts
 
     from panopticnerf_tpu import engine
 

@@ -15,9 +15,11 @@ def parse_args():
     p.add_argument("--cfg_file", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=None,
                    help="override total steps (smoke runs)")
-    p.add_argument("opts", nargs=argparse.REMAINDER,
-                   help="KEY VALUE ... config overrides (dotted or reference-style)")
-    return p.parse_args()
+    # parse_known_args instead of REMAINDER: reference-style KEY VALUE
+    # overrides may be interleaved with flags in any order.
+    args, opts = p.parse_known_args()
+    args.opts = opts
+    return args
 
 
 def main():
