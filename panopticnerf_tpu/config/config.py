@@ -179,12 +179,17 @@ class TrainConfig:
     # Checkpoint step to restore for evaluate/visualize (0 = latest,
     # -1 = best-by-eval-metric — see save_best).
     eval_step: int = 0
-    # Keep a "best" checkpoint (mIoU when semantics are evaluated, else
-    # PSNR) refreshed at the eval cadence. Long runs keep improving PSNR
-    # while mIoU/PQ peak early and decay on noisy pseudo-labels
-    # (BASELINE.md long-run note) — metric-selected checkpoints are the
-    # remedy; evaluate them with `train.eval_step -1`.
+    # Keep a "best" checkpoint refreshed at the eval cadence. Selection
+    # metric: mean of mIoU and PQ when instances are evaluated, mIoU when
+    # only semantics are, else PSNR. Long runs keep improving PSNR while
+    # mIoU/PQ peak early and decay on noisy pseudo-labels (BASELINE.md
+    # long-run note) — metric-selected checkpoints are the remedy;
+    # evaluate them with `train.eval_step -1`.
     save_best: bool = True
+    # Test views rendered per in-train eval (save_best selection): 0 = all
+    # test views. A 2-view eval makes the "best" metric itself noisy on
+    # noisy pseudo-labels, so default to a wider sample.
+    eval_views: int = 8
     seed: int = 0
 
 
@@ -223,6 +228,19 @@ class Config:
     @property
     def trained_model_dir(self) -> str:
         return os.path.join(self.model_dir, self.task, self.exp_name)
+
+    @property
+    def best_model_dir(self) -> str:
+        """Metric-selected checkpoint root (train.save_best). A SIBLING of
+        the step-checkpoint root, not nested inside it — orbax scans its
+        root for step directories and non-step entries inside it rely on
+        version-dependent ignore behavior."""
+        return os.path.join(self.model_dir, self.task, self.exp_name + "_best")
+
+    @property
+    def best_metric_path(self) -> str:
+        return os.path.join(self.model_dir, self.task,
+                            self.exp_name + "_best_metric.json")
 
     @property
     def record_path(self) -> str:

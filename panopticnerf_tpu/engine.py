@@ -177,8 +177,16 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     last_metrics = {}
     # Best-metric state survives preemption/resume via a sidecar json —
     # otherwise the first post-resume eval (trivially > -inf) would
-    # overwrite the true best checkpoint with a worse one.
-    best_meta_path = os.path.join(ckpt_dir, "best_metric.json")
+    # overwrite the true best checkpoint with a worse one. Both the best
+    # checkpoint and its sidecar live as SIBLINGS of the orbax step root
+    # (cfg.best_model_dir) — nesting them inside it relies on orbax
+    # silently skipping non-step entries, a version-dependent behavior.
+    best_meta_path = cfg.best_metric_path
+    if not os.path.exists(best_meta_path):
+        # runs recorded before the sidecar moved beside the step root
+        legacy_meta = os.path.join(ckpt_dir, "best_metric.json")
+        if os.path.exists(legacy_meta):
+            best_meta_path = legacy_meta
     best_val = -np.inf
     if cfg.train.resume and os.path.exists(best_meta_path):
         import json
@@ -201,20 +209,26 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     # would retrace the full-image renderer every eval_ep).
     eval_render = [None]
 
+    # In-train eval view count (train.eval_views; 0 = all test views): the
+    # save_best selection metric is only as good as the eval it's computed
+    # on — a 2-view mIoU on noisy pseudo-labels picks lucky outliers.
+    n_ev = cfg.train.eval_views
+    eval_view_ids = test_ids if n_ev <= 0 else test_ids[:n_ev]
+
     def _eval_now(params_now):
         if eval_render[0] is None:
             m = _eval_mesh(cfg)
             eval_render[0] = jax.jit(
                 lambda p, v: _render_view(cfg, model, p, eval_ds, v, mesh=m))
-        return evaluate_views(cfg, model, params_now, eval_ds, test_ids[:2],
+        return evaluate_views(cfg, model, params_now, eval_ds, eval_view_ids,
                               render=eval_render[0])
 
+    lr_sched = make_lr(cfg)
     try:
         for step in range(start_step, total_steps):
             if preempted["flag"]:
                 log(f"SIGTERM received: checkpointing at step {step} and exiting")
                 save_model(state, ckpt_dir, step)
-                recorder.close()
                 return {"state": state, "model": model, "ds": ds,
                         "test_ids": test_ids, "metrics": last_metrics,
                         "preempted": True}
@@ -239,20 +253,25 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
             if (step + 1) % tc.record_interval == 0:
                 recorder.record("train")
                 epoch = (step + 1) // tc.ep_iter
-                log(recorder.log_line(epoch, tc.epochs, float(make_lr(cfg)(step))))
+                log(recorder.log_line(epoch, tc.epochs, float(lr_sched(step))))
             if (step + 1) % (tc.save_ep * tc.ep_iter) == 0 or step + 1 == total_steps:
                 save_model(state, ckpt_dir, step + 1)
             if (step + 1) % (tc.eval_ep * tc.ep_iter) == 0:
                 res = _eval_now(state.params)
                 log(f"eval@{step + 1}: " + ", ".join(
                     f"{k}={v:.3f}" for k, v in res.items() if np.isscalar(v)))
-                # Metric-selected checkpoint (train.save_best): mIoU governs when
-                # semantics are evaluated (the label-transfer task's headline),
-                # PSNR otherwise. Restore with `train.eval_step -1`.
-                val = res.get("miou", res.get("psnr"))
+                # Metric-selected checkpoint (train.save_best): when instances
+                # are evaluated the selection metric averages mIoU and PQ
+                # (both are the label-transfer headline); mIoU alone when only
+                # semantics are, PSNR otherwise. Restore with
+                # `train.eval_step -1`.
+                if "miou" in res and "pq" in res:
+                    val = 0.5 * (float(res["miou"]) + float(res["pq"]))
+                else:
+                    val = res.get("miou", res.get("psnr"))
                 if tc.save_best and val is not None and float(val) > best_val:
                     best_val = float(val)
-                    save_model(state, os.path.join(ckpt_dir, "best"), step + 1,
+                    save_model(state, cfg.best_model_dir, step + 1,
                                max_to_keep=1)
                     import json
 
@@ -264,9 +283,11 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
         # Always restore the previous SIGTERM handler — callers like
         # tools/run_staged.py invoke run_train repeatedly in one process,
         # and a stale handler (closing over a dead `preempted` dict) would
-        # silently swallow real preemption signals between stages.
+        # silently swallow real preemption signals between stages. The
+        # recorder closes here too so a mid-loop exception (NaN abort,
+        # KeyboardInterrupt) still flushes the JSONL/TensorBoard streams.
         signal.signal(signal.SIGTERM, prev_handler)
-    recorder.close()
+        recorder.close()
     return {"state": state, "model": model, "ds": eval_ds, "test_ids": test_ids,
             "metrics": last_metrics}
 
@@ -282,7 +303,12 @@ def _restore_for_eval(cfg: Config):
     directory = cfg.trained_model_dir
     want = cfg.train.eval_step or None
     if cfg.train.eval_step == -1:  # metric-selected checkpoint (save_best)
-        directory = os.path.join(directory, "best")
+        directory = cfg.best_model_dir
+        if not os.path.isdir(directory):
+            # runs recorded before the best root moved beside the step root
+            legacy = os.path.join(cfg.trained_model_dir, "best")
+            if os.path.isdir(legacy):
+                directory = legacy
         want = None
     params, step = load_network(state.params, directory, step=want)
     return ds, test_ids, model, params, step

@@ -38,8 +38,6 @@ def render_image_rays_sharded(
             return a
         return jnp.concatenate([a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)], 0)
 
-    shard = NamedSharding(mesh, P(None, axis))
-
     def tiles(a):
         t = pad(a).reshape(-1, span, *a.shape[1:])
         return jax.lax.with_sharding_constraint(

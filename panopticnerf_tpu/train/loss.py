@@ -87,13 +87,13 @@ def compute_losses(
 
     # --- RGB (fine + coarse, as in hierarchical NeRF) ---
     sq = jnp.mean((out.rgb - batch.rgb) ** 2, axis=-1)
-    l_rgb = _mm(sq, ray_ok)
+    mse_fine = _mm(sq, ray_ok)
+    l_rgb = mse_fine
     if out.coarse is not None:
         l_rgb = l_rgb + _mm(
             jnp.mean((out.coarse.rgb - batch.rgb) ** 2, axis=-1), ray_ok
         )
     stats["loss_rgb"] = l_rgb
-    mse_fine = _mm(sq, ray_ok)
     stats["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse_fine, 1e-10))
     total = lc.rgb_weight * l_rgb
 

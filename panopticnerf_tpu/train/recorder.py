@@ -87,4 +87,7 @@ class Recorder:
         return f"epoch {epoch}/{max_epoch}  step {self.step}  lr {lr:.2e}  {core}  ({dt:.1f}s) {extra}"
 
     def close(self):
-        self._jsonl.close()
+        """Idempotent: run_train closes in its finally block, and callers
+        (tests, staged runs) may close again."""
+        if not self._jsonl.closed:
+            self._jsonl.close()

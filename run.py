@@ -21,8 +21,13 @@ def parse_args():
                         "through the training trajectory (visualize only)")
     # parse_known_args instead of REMAINDER: reference-style KEY VALUE
     # overrides may be interleaved with flags in any order (REMAINDER would
-    # swallow flags that appear after the first positional token).
+    # swallow flags that appear after the first positional token). A leftover
+    # --token is a misspelled flag, not an override key — fail clearly
+    # instead of surfacing a confusing "unknown config key" error.
     args, opts = p.parse_known_args()
+    for tok in opts:
+        if tok.startswith("--"):
+            p.error(f"unrecognized flag {tok!r}")
     args.opts = opts
     return args
 

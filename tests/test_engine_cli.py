@@ -111,8 +111,12 @@ def test_save_best_and_eval_step_best(tmp_path):
     cfg.train.eval_ep = 1           # eval (and best-check) every ep_iter=10
     logs = []
     run_train(cfg, max_steps=20, log=logs.append)
-    best_dir = os.path.join(cfg.trained_model_dir, "best")
-    assert os.path.isdir(best_dir), logs
+    # best checkpoint root is a SIBLING of the orbax step root (ADVICE r2):
+    # nothing non-step may live inside the step root.
+    assert os.path.isdir(cfg.best_model_dir), logs
+    assert not os.path.exists(os.path.join(cfg.trained_model_dir, "best"))
+    assert not os.path.exists(
+        os.path.join(cfg.trained_model_dir, "best_metric.json"))
     assert any("saved best@" in l for l in logs)
 
     cfg.train.eval_step = -1
@@ -141,7 +145,7 @@ def test_best_metric_survives_resume(tmp_path):
     cfg.train.eval_ep = 1
     logs = []
     run_train(cfg, max_steps=10, log=logs.append)
-    meta = os.path.join(cfg.trained_model_dir, "best_metric.json")
+    meta = cfg.best_metric_path
     assert os.path.exists(meta)
 
     # Pretend an earlier (pre-preemption) eval was much better.
@@ -152,6 +156,33 @@ def test_best_metric_survives_resume(tmp_path):
     assert any("best-metric state restored" in l for l in logs2)
     assert not any("saved best@" in l for l in logs2)  # nothing beat 1e9
     assert json.load(open(meta))["value"] == 1e9
+
+
+def test_misspelled_flag_rejected():
+    """A leftover --token is a misspelled flag, not a KEY VALUE override —
+    the CLIs must fail with argparse's clear error, not a config KeyError."""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "run.py", "--type", "evaluate", "--trajectoy", "30"],
+        capture_output=True, text=True, env=env, cwd=root)
+    assert out.returncode != 0
+    assert "unrecognized flag" in out.stderr and "--trajectoy" in out.stderr
+
+
+def test_eval_views_knob(tmp_path):
+    """train.eval_views widens the in-train eval behind save_best; 0 = all
+    test views. (A 2-view eval makes 'best' selection noisy — VERDICT r2.)"""
+    from panopticnerf_tpu.config import Config as C
+
+    assert C().train.eval_views == 8  # default is wide, not 2
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "evalviews"
+    cfg.train.eval_ep = 1
+    cfg.train.eval_views = 0  # all test views
+    logs = []
+    run_train(cfg, max_steps=10, log=logs.append)
+    assert any("eval@10" in l for l in logs)
 
 
 def test_trajectory_visualize(tmp_path):

@@ -106,6 +106,9 @@ def main() -> int:
     p.add_argument("--frame_num", type=int, default=64)
     p.add_argument("--frame_step", type=int, default=1)
     args, opts = p.parse_known_args()  # flags may follow KEY VALUE opts
+    for tok in opts:
+        if tok.startswith("--"):
+            p.error(f"unrecognized flag {tok!r}")
     args.opts = opts
 
     if args.cfg_file:

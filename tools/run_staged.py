@@ -86,6 +86,9 @@ def main() -> int:
                    help="run only the first N stages")
     # parse_known_args: KEY VALUE overrides may be interleaved with flags.
     args, opts = p.parse_known_args()
+    for tok in opts:
+        if tok.startswith("--"):
+            p.error(f"unrecognized flag {tok!r}")
     args.opts = opts
 
     from panopticnerf_tpu import engine

@@ -16,8 +16,12 @@ def parse_args():
     p.add_argument("--max_steps", type=int, default=None,
                    help="override total steps (smoke runs)")
     # parse_known_args instead of REMAINDER: reference-style KEY VALUE
-    # overrides may be interleaved with flags in any order.
+    # overrides may be interleaved with flags in any order. A leftover
+    # --token is a misspelled flag, not an override key.
     args, opts = p.parse_known_args()
+    for tok in opts:
+        if tok.startswith("--"):
+            p.error(f"unrecognized flag {tok!r}")
     args.opts = opts
     return args
 
