@@ -41,6 +41,15 @@ class DataConfig:
     # Supervision streams.
     use_pspnet: bool = True        # noisy 2D pseudo-labels
     use_depth: bool = True         # sparse SGM/lidar depth
+    # Convention of the STORED depth maps: "plane_z" (stereo-SGM standard —
+    # z along the rectified optical axis, what KITTI-360's sgm/ stream is)
+    # or "ray" (Euclidean distance along the ray, e.g. lidar range images).
+    # The renderer composites RAY DISTANCE over unit-norm directions, so
+    # plane_z maps are converted at load (ray = z * sqrt(x^2 + y^2 + 1));
+    # at KITTI-360's FoV the difference reaches ~39% in the corners —
+    # supervising ray distance with raw plane-z silently biases geometry.
+    # See docs/MIGRATION.md "Depth convention".
+    depth_convention: str = "plane_z"
     # Ray batching.
     n_rays: int = 2048             # rays per train batch (per step, global)
     # Views per batch: 0 = fully mixed (every ray draws a view); G > 0 =

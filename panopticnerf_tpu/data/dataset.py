@@ -38,7 +38,10 @@ class DeviceDataset(NamedTuple):
     K: jnp.ndarray             # (V, 3, 3) float32 intrinsics per view
     c2w: jnp.ndarray           # (V, 3, 4) float32 camera-to-world
     pseudo: jnp.ndarray        # (V, H, W) int32 semantic pseudo-labels (255 = ignore)
-    depth: jnp.ndarray         # (V, H, W) float32 sparse depth (<=0 invalid)
+    depth: jnp.ndarray         # (V, H, W) float32 sparse depth as RAY
+                               # DISTANCE in meters (<=0 invalid) — loaders
+                               # convert plane-z sources (SGM) at load time;
+                               # matches the composited depth convention.
     prim_w2p: jnp.ndarray      # (V, P, 3, 4) per-view visible primitives
     prim_sem: jnp.ndarray      # (V, P) int32
     prim_inst: jnp.ndarray     # (V, P) int32

@@ -184,6 +184,21 @@ def _load_label_map(base: str, hw: tuple[int, int]) -> np.ndarray:
     return np.full((h, w), IGNORE, np.int32)
 
 
+def plane_z_to_ray_factor(K: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """(h, w) multiplier converting plane-z depth to ray distance for a
+    pinhole camera: ray = z * ||(x, y, 1)|| with x = (u - cx)/fx etc.
+
+    Stereo SGM produces plane-z (z = f*b/disparity along the rectified
+    optical axis) while the renderer composites Euclidean distance along
+    unit-norm rays (ops/composite.py depth_map) — the factor is 1.0 only at
+    the principal point and grows toward the image borders.
+    """
+    h, w = hw
+    x = (np.arange(w) + 0.5 - K[0, 2]) / K[0, 0]
+    y = (np.arange(h) + 0.5 - K[1, 2]) / K[1, 1]
+    return np.sqrt(x[None, :] ** 2 + y[:, None] ** 2 + 1.0).astype(np.float32)
+
+
 def _load_depth(base: str, hw: tuple[int, int]) -> np.ndarray:
     """Depth in meters, 0 where invalid; uint16 PNGs are millimeters."""
     from PIL import Image
@@ -230,6 +245,10 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
     seq = dc.sequence
     ratio = dc.ratio
     to_train_ids = cfg.model.num_classes == L.NUM_TRAIN_IDS
+    if dc.depth_convention not in ("plane_z", "ray"):
+        raise ValueError(
+            f"data.depth_convention must be 'plane_z' or 'ray', "
+            f"got {dc.depth_convention!r}")
 
     calib = load_perspective_calib(os.path.join(root, "calibration", "perspective.txt"))
     P0 = calib["P_rect_00"]
@@ -402,7 +421,15 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
                 lab = np.full(hw, IGNORE, np.int32)
             pseudos.append(lab)
             if dc.use_depth:
-                depths.append(_load_depth(os.path.join(root, "sgm", seq, cam, f"{frame:010d}"), hw))
+                dep = _load_depth(os.path.join(root, "sgm", seq, cam, f"{frame:010d}"), hw)
+                # DeviceDataset.depth carries RAY DISTANCE (the renderer's
+                # composited convention). SGM maps are plane-z — convert
+                # per pixel; zeros (invalid) stay zero. Fisheye views have
+                # no SGM stream; any depth found there is passed through
+                # (no pinhole factor applies to the MEI model).
+                if dc.depth_convention == "plane_z" and not is_fisheye:
+                    dep = dep * plane_z_to_ray_factor(K, hw)
+                depths.append(dep)
             else:
                 depths.append(np.zeros(hw, np.float32))
             pw2p.append(w2p)

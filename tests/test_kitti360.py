@@ -257,8 +257,11 @@ def test_build_dataset_stereo(fake_root):
     # pseudo labels remapped: road 7 -> 0
     assert int(ds.pseudo[0, 0, 0]) == 0
     assert int(ds.pseudo[0, 6, 6]) == 13
-    # depth present on left cam only
-    assert float(ds.depth[0, 0, 0]) == 10.0
+    # depth present on left cam only; SGM plane-z converted to ray distance
+    fx, cx, cy = 20.0, W / 2, H / 2
+    x0, y0 = (0.5 - cx) / fx, (0.5 - cy) / fx
+    assert float(ds.depth[0, 0, 0]) == pytest.approx(
+        10.0 * np.sqrt(x0 * x0 + y0 * y0 + 1.0), rel=1e-5)
     assert float(ds.depth[1, 0, 0]) == 0.0
     # GT loaded and remapped
     assert int(ds.gt_sem[0, 0, 0]) == 0
@@ -267,6 +270,41 @@ def test_build_dataset_stereo(fake_root):
     np.testing.assert_allclose(
         np.asarray(ds.c2w[1, :, 3] - ds.c2w[0, :, 3]), [0.6, 0, 0], atol=1e-6
     )
+
+
+def test_depth_convention_plane_z_vs_ray(fake_root):
+    """SGM depth is plane-z (z along the rectified optical axis); the
+    renderer composites ray distance over unit-norm directions. The loader
+    must convert: for a fronto-parallel wall at z=10, the ray distance at
+    pixel (u, v) is 10 * ||((u-cx)/fx, (v-cy)/fy, 1)|| — exactly 10 only on
+    the optical axis, up to ~39% more in a wide-FoV corner. data.depth_
+    convention='ray' declares already-converted sources and passes through."""
+    from panopticnerf_tpu.data.kitti360 import plane_z_to_ray_factor
+
+    cfg = _cfg(fake_root, use_stereo=False)
+    ds = build_kitti360_dataset(cfg)
+    dep = np.asarray(ds.depth[0])
+    fx = 20.0
+    K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]])
+    factor = plane_z_to_ray_factor(K, (H, W))
+    # left half of the fixture map is a plane at z=10, right half invalid
+    expect = np.where(np.arange(W)[None, :] < W // 2, 10.0 * factor, 0.0)
+    np.testing.assert_allclose(dep, expect, rtol=1e-5)
+    # factor is >= 1 everywhere, == 1 only at the principal point
+    assert factor.min() >= 1.0
+    cc = factor[H // 2, W // 2]  # half-pixel off the principal point
+    assert cc == pytest.approx(1.0, abs=1e-3)
+    assert factor[0, 0] > 1.3  # wide-FoV corner is far from plane-z
+
+    cfg_ray = _cfg(fake_root, use_stereo=False, depth_convention="ray")
+    ds_ray = build_kitti360_dataset(cfg_ray)
+    dep_ray = np.asarray(ds_ray.depth[0])
+    expect_ray = np.broadcast_to(
+        np.where(np.arange(W)[None, :] < W // 2, 10.0, 0.0), (H, W))
+    np.testing.assert_allclose(dep_ray, expect_ray, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="depth_convention"):
+        build_kitti360_dataset(_cfg(fake_root, depth_convention="zz"))
 
 
 def test_build_dataset_mono_quarter(fake_root):

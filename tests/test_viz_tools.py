@@ -125,3 +125,49 @@ def test_check_data_tool(tmp_path):
         capture_output=True, text=True)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
+
+
+def test_check_data_depth_units(tmp_path):
+    """Deliberately corrupted depth units (mm-as-m, m-as-uint16) are flagged
+    by the value check; the healthy fixture tree passes it."""
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from test_kitti360 import make_fake_kitti
+    import check_data
+
+    root = str(tmp_path / "kitti")
+    os.makedirs(root)
+    seq = make_fake_kitti(root)
+    frames = [100, 101, 102]
+
+    stat, msg = check_data.diagnose_depth_units(root, seq, frames)
+    assert stat == "ok" and "10.0 m" in msg
+
+    sgm = os.path.join(root, "sgm", seq, "image_00")
+    # corrupt 1: float map in MILLIMETERS (10 m plane -> 10000)
+    dep = np.zeros((24, 32), np.float32)
+    dep[:, :16] = 10000.0
+    for fr in frames:
+        np.save(os.path.join(sgm, f"{fr:010d}.npy"), dep)
+    stat, msg = check_data.diagnose_depth_units(root, seq, frames)
+    assert stat == "warn" and "MILLIMETERS" in msg
+
+    # corrupt 2: uint16 png storing METERS (loader /1000 rule -> 0.01 m)
+    for fr in frames:
+        os.remove(os.path.join(sgm, f"{fr:010d}.npy"))
+        arr = np.zeros((24, 32), np.uint16)
+        arr[:, :16] = 10
+        Image.fromarray(arr).save(os.path.join(sgm, f"{fr:010d}.png"))
+    stat, msg = check_data.diagnose_depth_units(root, seq, frames)
+    assert stat == "warn" and "small" in msg
+
+    # the CLI surfaces the warning and fails
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_data.py"),
+         "--root", root, "--sequence", seq,
+         "--frame_start", "100", "--frame_num", "3"],
+        capture_output=True, text=True)
+    assert out.returncode == 1 and "depth/units" in out.stdout

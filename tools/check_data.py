@@ -97,6 +97,55 @@ def check_tree(root: str, sequence: str, frames: list[int],
     return rep
 
 
+def diagnose_depth_units(root: str, sequence: str, frames: list[int],
+                         cam: str = "image_00"):
+    """Sanity-check SGM depth VALUES, not just presence: catch stored
+    millimeters (median ~10^4 after the loader's unit rules) and bogus tiny
+    scales (e.g. uint16 meters divided by the mm rule). Returns
+    (status, message) with status in ok|warn|none.
+
+    The z-vs-ray-distance CONVENTION cannot be detected from one map — it
+    is declared via data.depth_convention (default plane_z; the loader
+    converts to ray distance, docs/MIGRATION.md "Depth convention").
+    """
+    import numpy as np
+
+    base_dir = os.path.join(root, "sgm", sequence, cam)
+    for fr in frames:
+        base = os.path.join(base_dir, f"{fr:010d}")
+        if os.path.exists(base + ".npy"):
+            arr = np.load(base + ".npy").astype(np.float32)
+        elif os.path.exists(base + ".png"):
+            from PIL import Image
+
+            raw = np.asarray(Image.open(base + ".png"))
+            # mirror data/kitti360._load_depth: uint16 PNGs are millimeters
+            arr = (raw.astype(np.float32) / 1000.0 if raw.dtype == np.uint16
+                   else raw.astype(np.float32))
+        else:
+            continue
+        valid = arr > 0
+        if not valid.any():
+            continue
+        med = float(np.median(arr[valid]))
+        if med > 200.0:
+            return ("warn",
+                    f"median valid depth {med:.0f} (frame {fr}) — driving "
+                    f"scenes sit at ~5-50 m; values this large look like "
+                    f"MILLIMETERS stored as meters (float maps are read "
+                    f"as-is; only uint16 PNGs get the /1000 mm rule)")
+        if med < 0.5:
+            return ("warn",
+                    f"median valid depth {med:.3f} m (frame {fr}) — "
+                    f"suspiciously small; uint16 PNGs are interpreted as "
+                    f"millimeters (/1000), so meters stored as uint16 "
+                    f"arrive 1000x too small")
+        return ("ok", f"median valid depth {med:.1f} m (frame {fr}); "
+                      f"interpreted per data.depth_convention "
+                      f"(plane_z -> ray distance at load)")
+    return ("none", "no depth frames found to value-check")
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description="KITTI-360 layout checker")
     p.add_argument("--cfg_file", default=None)
@@ -137,6 +186,12 @@ def main() -> int:
         mark = "+" if status == "ok" else ("!" if required else "~")
         print(f" {mark} {name:<{width}}  {status:<8} {kind:<9} {detail}")
         bad |= required and status != "ok"
+    if flags.get("use_depth", True):
+        dstat, dmsg = diagnose_depth_units(root, seq, frames)
+        if dstat != "none":
+            mark = "+" if dstat == "ok" else "!"
+            print(f" {mark} {'depth/units':<{width}}  {dstat:<8} {'check':<9} {dmsg}")
+            bad |= dstat == "warn"
     if bad:
         print("\nFAIL: required streams missing/partial for this config "
               "(optional streams degrade gracefully; see docs/MIGRATION.md).")
