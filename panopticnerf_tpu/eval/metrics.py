@@ -67,7 +67,16 @@ def panoptic_quality(
 
     Segments: for 'thing' classes every (class, instance) pair is a segment;
     for 'stuff' classes the whole class mask is one segment (instance 0) —
-    the standard COCO-panoptic convention the reference follows.
+    the standard COCO-panoptic convention the reference follows
+    ([pn] lib/evaluators/panopticnerf.py via panopticapi).
+
+    Void handling follows panopticapi pq_compute exactly:
+    - gt segments exist on valid (non-void) pixels only; match IoU uses
+      `inter / (gt_area + pred_full_area - inter - pred_void_overlap)` —
+      algebraically identical to clipping pred segments to valid pixels;
+    - an UNMATCHED predicted segment whose void overlap exceeds half its
+      full area is DROPPED, not counted FP (a prediction mostly over
+      unlabeled ground truth is unjudgeable, not wrong).
 
     Returns dict of per-class arrays: iou_sum, tp, fp, fn (each (C,)).
     """
@@ -79,13 +88,15 @@ def panoptic_quality(
 
     valid = (gt_sem != ignore) & (gt_sem >= 0) & (gt_sem < num_classes)
 
-    # Build combined (class, instance) segment ids over valid pixels only;
-    # stuff segments collapse to instance 0.
-    v = valid
-    gs, gi = gt_sem[v], gt_inst[v]
-    ps, pi = pred_sem[v], pred_inst[v]
+    # Combined (class, instance) segment ids; stuff segments collapse to
+    # instance 0. gt over valid pixels only; pred over ALL pixels so that
+    # full areas and void overlaps are available for the FP-drop rule.
+    gs, gi = gt_sem[valid], gt_inst[valid]
     gi = np.where(things[np.clip(gs, 0, num_classes - 1)], gi, 0)
-    pi = np.where((ps >= 0) & (ps < num_classes) & things[np.clip(ps, 0, num_classes - 1)], pi, 0)
+    ps_all, pi_all = pred_sem, pred_inst
+    p_in_range = (ps_all >= 0) & (ps_all < num_classes)
+    pi_all = np.where(p_in_range & things[np.clip(ps_all, 0, num_classes - 1)],
+                      pi_all, 0)
 
     def unique_segs(sem, inst):
         key = sem.astype(np.int64) * 1_000_000 + inst.astype(np.int64)
@@ -93,10 +104,12 @@ def panoptic_quality(
         return uniq, inv, cnt
 
     g_uniq, g_inv, g_cnt = unique_segs(gs, gi)
-    p_uniq, p_inv, p_cnt = unique_segs(ps, pi)
+    p_uniq, p_inv_all, p_cnt = unique_segs(ps_all, pi_all)  # p_cnt = FULL areas
+    p_void = np.bincount(p_inv_all[~valid], minlength=len(p_uniq))
 
-    # Intersection counts between every (gt segment, pred segment) pair present.
-    pair_key = g_inv.astype(np.int64) * len(p_uniq) + p_inv
+    # Intersection counts between every (gt segment, pred segment) pair
+    # present on valid pixels.
+    pair_key = g_inv.astype(np.int64) * len(p_uniq) + p_inv_all[valid]
     pair_uniq, pair_cnt = np.unique(pair_key, return_counts=True)
     gt_idx = pair_uniq // len(p_uniq)
     pr_idx = pair_uniq % len(p_uniq)
@@ -117,7 +130,7 @@ def panoptic_quality(
         if g_class[gidx] != p_class[pidx]:
             continue
         inter = pair_cnt[k]
-        union = g_cnt[gidx] + p_cnt[pidx] - inter
+        union = g_cnt[gidx] + p_cnt[pidx] - inter - p_void[pidx]
         iou = inter / union
         if iou > 0.5:
             c = g_class[gidx]
@@ -130,8 +143,14 @@ def panoptic_quality(
         if not g_matched[i]:
             fn[g_class[i]] += 1
     for i in range(len(p_uniq)):
-        if not p_matched[i]:
-            fp[p_class[i]] += 1
+        if p_matched[i]:
+            continue
+        # panopticapi FP-drop rule: majority-void predictions are unjudged.
+        if p_void[i] * 2 > p_cnt[i]:
+            continue
+        c = p_class[i]
+        if 0 <= c < num_classes:  # out-of-range pred sem carries no class
+            fp[c] += 1
 
     return {"iou_sum": iou_sum, "tp": tp, "fp": fp, "fn": fn}
 

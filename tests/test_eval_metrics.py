@@ -98,3 +98,53 @@ def test_pq_ignore_region_dropped():
     r = pq_from_stats(st)
     # within valid region, IoU = 1 -> perfect
     assert r["pq"][1] == pytest.approx(1.0)
+
+
+def test_pq_majority_void_pred_dropped_from_fp():
+    """panopticapi convention: an unmatched predicted segment with >50% of
+    its area over void ground truth is dropped, NOT counted FP. Hand case:
+    gt valid on pixels 0-3 (class1 inst1), void on 4-9; pred inst1 covers
+    pixels 2-9 (8 px, 6 void -> 75%): IoU = 2/(4+8-2-6) = 0.5, no match;
+    pred is majority-void -> only the FN for the gt segment remains."""
+    gt_sem = np.array([1, 1, 1, 1] + [255] * 6)
+    gt_inst = np.array([1, 1, 1, 1] + [0] * 6)
+    pred_sem = np.array([0, 0] + [1] * 8)
+    pred_inst = np.array([0, 0] + [1] * 8)
+    things = np.array([False, True])
+    st = panoptic_quality(pred_sem, pred_inst, gt_sem, gt_inst, things, 2)
+    assert st["tp"].sum() == 0
+    assert st["fn"][1] == 1
+    assert st["fp"].sum() == 1  # the class-0 stuff pred (fully valid) is FP
+    assert st["fp"][0] == 1 and st["fp"][1] == 0  # void-majority seg dropped
+
+
+def test_pq_minority_void_pred_still_fp():
+    """Control: an unmatched pred segment only 40% in void stays FP."""
+    # gt: pixels 0-5 class0 stuff; 6-9 void. pred: class1 inst1 on 3-7
+    # (5 px, 2 void -> 40%): wrong class, minority-void -> FP for class 1.
+    gt_sem = np.array([0] * 6 + [255] * 4)
+    gt_inst = np.zeros(10, int)
+    pred_sem = np.array([0, 0, 0, 1, 1, 1, 1, 1, 0, 0])
+    pred_inst = np.array([0, 0, 0, 1, 1, 1, 1, 1, 0, 0])
+    things = np.array([False, True])
+    st = panoptic_quality(pred_sem, pred_inst, gt_sem, gt_inst, things, 2)
+    assert st["fp"][1] == 1
+    # class-0 pred (5 px, 2 void = 40%): valid IoU 3/(6+5-3-2) = 0.5 -> no
+    # match, minority-void -> also FP; its gt counterpart is FN.
+    assert st["fp"][0] == 1
+    assert st["fn"][0] == 1
+
+
+def test_pq_void_overlap_excluded_from_union():
+    """Match IoU uses full pred area minus its void overlap (panopticapi's
+    union adjustment): pred inst1 on pixels 1-8 (8 px, 5 void), gt inst1 on
+    0-3 -> IoU = 3/(4+8-3-5) = 0.75 -> TP despite the void spill."""
+    gt_sem = np.array([1, 1, 1, 1] + [255] * 6)
+    gt_inst = np.array([1, 1, 1, 1] + [0] * 6)
+    pred_sem = np.array([0] + [1] * 8 + [0])
+    pred_inst = np.array([0] + [1] * 8 + [0])
+    things = np.array([False, True])
+    st = panoptic_quality(pred_sem, pred_inst, gt_sem, gt_inst, things, 2)
+    assert st["tp"][1] == 1
+    assert st["iou_sum"][1] == pytest.approx(0.75)
+    assert st["fn"][1] == 0 and st["fp"][1] == 0
