@@ -31,6 +31,8 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
     n_rays must divide evenly by the mesh size (static check).
     """
     use_shard_map = False
+    intersect_in_region = False
+    g = cfg.data.views_per_batch
     if mesh.devices.size > 1 and (cfg.model.use_pallas
                                   or cfg.render.use_pallas_intersect):
         # Pallas custom calls under GSPMD auto-sharding are at best
@@ -38,22 +40,34 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
         # they never run under automatic sharding here. Two routes:
         #   kernel_shard_map=True (default): the render+loss region runs
         #     under jax.shard_map — manual SPMD, each device applies the
-        #     fused trunk kernel to its local ray shard; losses/stats are
-        #     exact global masked means (psum inside compute_losses), so
-        #     numerics match the single-device step. The intersection
-        #     kernel still falls back to XLA (its grouped reshape does not
-        #     commute with ray sharding); it is a ~4% kernel.
-        #   kernel_shard_map=False: force the XLA field too (legacy).
+        #     fused kernels to its local ray shard; losses/stats are exact
+        #     global masked means (psum inside compute_losses), so numerics
+        #     match the single-device step. The grouped INTERSECTION kernel
+        #     also moves inside the region when the ray sharding respects
+        #     view-group boundaries: each device owns whole groups
+        #     (G % n_dev == 0) or a slice of a single group
+        #     (n_dev % G == 0), making the grouped reshape local.
+        #   kernel_shard_map=False: force the XLA paths (legacy).
         use_shard_map = cfg.parallel.kernel_shard_map and cfg.model.use_pallas
         if cfg.render.use_pallas_intersect:
-            warnings.warn(
-                "multi-device mesh: Pallas intersection kernel disabled "
-                "(XLA interval path used; numerics identical).",
-                stacklevel=2)
-            cfg = dataclasses.replace(
-                cfg, render=dataclasses.replace(
-                    cfg.render, use_pallas_intersect=False))
-        if cfg.model.use_pallas and not use_shard_map:
+            nd = mesh.devices.size
+            group_ok = g > 0 and (g % nd == 0 or nd % g == 0)
+            if (cfg.parallel.kernel_shard_map and group_ok
+                    and cfg.render.use_primitives):
+                intersect_in_region = True
+                use_shard_map = True
+            else:
+                warnings.warn(
+                    "multi-device mesh: Pallas intersection kernel disabled "
+                    "(XLA interval path used; numerics identical). To keep "
+                    "it on, use parallel.kernel_shard_map with grouped "
+                    "batches whose data.views_per_batch divides (or is a "
+                    "multiple of) the mesh size.",
+                    stacklevel=2)
+                cfg = dataclasses.replace(
+                    cfg, render=dataclasses.replace(
+                        cfg.render, use_pallas_intersect=False))
+        if cfg.model.use_pallas and not cfg.parallel.kernel_shard_map:
             warnings.warn(
                 "multi-device mesh: Pallas field kernel disabled "
                 "(parallel.kernel_shard_map False; XLA field used).",
@@ -75,7 +89,9 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
     use_prims = cfg.render.use_primitives
     use_pallas_intersect = (
         cfg.render.use_pallas_intersect and cfg.data.views_per_batch > 0
+        and not intersect_in_region
     )
+    g_local = max(1, g // mesh.devices.size) if g > 0 else 0
     pallas_interpret = jax.default_backend() == "cpu"
     sem_gate = cfg.train.pretrain == "nerf"
     pretrain_steps = cfg.train.pretrain_steps
@@ -102,7 +118,7 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
                                 use_pallas=use_pallas_intersect,
                                 pallas_interpret=pallas_interpret)
             )
-            if use_prims
+            if use_prims and not intersect_in_region
             else None
         )
         sem_scale = jnp.where(state.step < pretrain_steps, 0.0, 1.0) if sem_gate else 1.0
@@ -118,16 +134,35 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
             b_specs = type(batch)(*([ray] * len(batch)))
             iv_specs = type(iv)(*([ray] * len(iv))) if iv is not None else None
 
-            def local_loss(params, b, ivx, bnds, k_r, s_scale):
+            def local_loss(params, b, ivx, bnds, k_r, s_scale, dsx=None):
                 # decorrelate per-device stratified jitter
                 k_loc = jax.random.fold_in(k_r, jax.lax.axis_index(axis))
+                if dsx is not None:
+                    # Grouped intersection INSIDE the region: the local ray
+                    # shard is whole view groups (or one group slice), so
+                    # the grouped reshape is local and the Pallas kernel
+                    # runs per device with views_per_batch = g_local.
+                    ivx = batch_intervals(
+                        dsx, b, cfg.render.near, cfg.render.far,
+                        cfg.data.max_intervals, g_local,
+                        use_pallas=True, pallas_interpret=pallas_interpret)
                 out = render_rays(model, params, b.rays_o, b.rays_d, bnds,
                                   k_loc, cfg, iv=ivx, train=True)
                 return compute_losses(out, b, cfg, sem_scale=s_scale,
                                       axis_name=axis)
 
             s_arr = jnp.asarray(sem_scale, jnp.float32)
-            if iv is not None:
+            if intersect_in_region:
+                ds_specs = jax.tree.map(lambda _: P(), ds)
+                smap = jax.shard_map(
+                    lambda p, dsx, b, bnds, k_r, ss: local_loss(
+                        p, b, None, bnds, k_r, ss, dsx=dsx),
+                    mesh=mesh,
+                    in_specs=(P(), ds_specs, b_specs, P(), P(), P()),
+                    out_specs=P(), check_vma=False,
+                )
+                loss_fn = lambda p: smap(p, ds, batch, bounds, k_render, s_arr)
+            elif iv is not None:
                 smap = jax.shard_map(
                     local_loss, mesh=mesh,
                     in_specs=(P(), b_specs, iv_specs, P(), P(), P()),

@@ -193,6 +193,55 @@ def test_shard_map_kernel_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.parametrize("g", [8, 16, 4])
+def test_shard_map_intersect_kernel_matches_single_device(g):
+    """The grouped Pallas INTERSECTION kernel now runs inside the shard_map
+    region whenever the ray sharding respects view-group boundaries: whole
+    groups per device (G % n_dev == 0: G=8, 16) or one-group slices
+    (n_dev % G == 0: G=4). Deterministic sampling -> the mesh step must
+    reproduce the single-device kernel step and emit NO fallback warning."""
+    import warnings as _w
+
+    cfg = _cfg()
+    cfg.data.views_per_batch = g
+    cfg.data.n_rays = 64
+    cfg.render.use_pallas_intersect = True
+    cfg.render.perturb = False
+    ds = build_synthetic_dataset(cfg, seed=0)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    view_ids = jnp.arange(4)
+    key = jax.random.key(5)
+
+    single = make_train_step(cfg, model, donate=False)
+    s1, stats1 = single(make_train_state(cfg, model, params), ds, view_ids, key)
+
+    mesh = make_mesh(cfg)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)  # no kernel-disabled warning
+        par = make_parallel_train_step(cfg, model, mesh, donate=False)
+    s2, stats2 = par(make_train_state(cfg, model, params), ds, view_ids, key)
+
+    np.testing.assert_allclose(float(stats1["loss_total"]),
+                               float(stats2["loss_total"]), rtol=1e-5)
+    a = jnp.concatenate([x.ravel() for x in jax.tree.leaves(s1.params)])
+    b = jnp.concatenate([x.ravel() for x in jax.tree.leaves(s2.params)])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_shard_map_intersect_kernel_incompatible_group_falls_back():
+    """G=3 with 8 devices splits groups across shards — the kernel must
+    fall back to XLA with the explanatory warning (never silent)."""
+    cfg = _cfg()
+    cfg.data.views_per_batch = 3
+    cfg.data.n_rays = 48
+    cfg.render.use_pallas_intersect = True
+    model = make_network(cfg)
+    mesh = make_mesh(cfg)
+    with pytest.warns(UserWarning, match="intersection kernel disabled"):
+        make_parallel_train_step(cfg, model, mesh, donate=False)
+
+
 def test_shard_map_kernel_step_trains():
     """Perturb ON (per-device decorrelated jitter): the shard_map kernel
     step must train (finite, decreasing loss)."""
