@@ -1,0 +1,223 @@
+"""Geometrically CONSISTENT miniature KITTI-360 tree generator.
+
+The handcrafted loader fixture (tests/test_kitti360.make_fake_kitti) paints
+pseudo/GT labels that deliberately do NOT match its 3D primitives — fine for
+exercising parser/loader plumbing, but adversarial as a QUALITY proxy: the
+fixed semantic field contradicts the 2D labels, bounding staged-pipeline
+mIoU near 0.5 regardless of training (the round-2 "quality gap").
+
+This generator instead raycasts an actual box scene (the same independent
+numpy raycaster as data/synthetic.py) and writes every KITTI-360 stream
+from that single source of truth:
+
+  - rgb images (left + stereo right) shaded from the boxes over a sky
+    gradient,
+  - pspnet/ pseudo-labels = GT raw ids + uniform label-flip noise,
+  - sgm/ depth in PLANE-Z convention (z along the optical axis, like real
+    stereo SGM) — the loader's plane_z -> ray-distance conversion is
+    thereby validated end-to-end,
+  - data_2d_semantics GT (raw-id semantic png + sem*1000+inst instance png),
+  - data_3d_bboxes XML cuboids whose transforms reproduce the raycast
+    geometry exactly,
+  - calibration / poses / visible_id.
+
+Reference layout: [pn] preprocessed KITTI-360 release (unverified,
+SURVEY.md §3.4); used by `tools/run_staged.py --synthesize-tree` and the
+staged-quality regression test.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from panopticnerf_tpu.data.synthetic import _raycast
+
+SEQ = "2013_05_28_drive_0000_sync"
+
+# (label, raw semantic id) per box slot; classes cycle. car/building are
+# 'things' (instances in GT), vegetation is stuff — all three exercised.
+_BOX_CLASSES = [("car", 26), ("building", 11), ("vegetation", 21)]
+_GROUND = ("road", 7)
+_SKY_ID = 23
+_NOISE_IDS = np.array([7, 8, 11, 21, 23, 26])  # incl. sidewalk as a distractor
+
+
+def _mat_xml(parent, name, arr):
+    node = ET.SubElement(parent, name)
+    ET.SubElement(node, "rows").text = str(arr.shape[0])
+    ET.SubElement(node, "cols").text = str(arr.shape[1])
+    ET.SubElement(node, "dt").text = "d"
+    ET.SubElement(node, "data").text = " ".join(f"{v:.8f}" for v in arr.reshape(-1))
+
+
+def _scene(n_boxes: int, rng: np.random.Generator):
+    """Box soup in front of the camera path + a road-plane ground box."""
+    centers = np.stack([
+        rng.uniform(-5.0, 5.0, n_boxes),
+        rng.uniform(-1.5, 1.0, n_boxes),
+        rng.uniform(7.0, 16.0, n_boxes),
+    ], axis=1)
+    sizes = rng.uniform(1.2, 3.5, (n_boxes, 3))
+    angles = rng.uniform(0, 2 * np.pi, n_boxes)
+    rots = np.zeros((n_boxes, 3, 3))
+    for i, a in enumerate(angles):  # yaw-only, KITTI-like
+        c, s = np.cos(a), np.sin(a)
+        rots[i] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+    labels = [_BOX_CLASSES[i % len(_BOX_CLASSES)] for i in range(n_boxes)]
+    # ground: huge thin 'road' box under the scene (y is down)
+    centers = np.concatenate([centers, [[0.0, 3.0, 12.0]]])
+    sizes = np.concatenate([sizes, [[60.0, 0.4, 60.0]]])
+    rots = np.concatenate([rots, [np.eye(3)]])
+    labels.append(_GROUND)
+    palette = rng.uniform(0.25, 1.0, (n_boxes + 1, 3))
+    palette[-1] = [0.35, 0.33, 0.33]  # asphalt
+    return centers, sizes, rots, labels, palette
+
+
+def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64),
+                    n_boxes: int = 6, seed: int = 0, label_noise: float = 0.05,
+                    depth_keep: float = 0.6, baseline: float = 0.5) -> str:
+    """Write the tree under `root`; returns the sequence name."""
+    from PIL import Image
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    centers, sizes, rots, labels, palette = _scene(n_boxes, rng)
+    half = sizes / 2.0
+    raw_ids = np.array([i for _, i in labels])
+    # local instance index per class (things get 1-based ids; stuff gets 0)
+    inst_local = np.zeros(len(labels), np.int64)
+    seen: dict[int, int] = {}
+    for i, rid in enumerate(raw_ids):
+        if (rid in (26, 11)):  # car/building are things here
+            seen[rid] = seen.get(rid, 0) + 1
+            inst_local[i] = seen[rid]
+
+    fx = 0.8 * w
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]])
+
+    # --- calibration ---
+    os.makedirs(f"{root}/calibration", exist_ok=True)
+    with open(f"{root}/calibration/perspective.txt", "w") as f:
+        P0 = f"{fx} 0 {w/2} 0 0 {fx} {h/2} 0 0 0 1 0"
+        P1 = f"{fx} 0 {w/2} {-fx*baseline} 0 {fx} {h/2} 0 0 0 1 0"
+        f.write(f"P_rect_00: {P0}\nR_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        f.write(f"P_rect_01: {P1}\nR_rect_01: 1 0 0 0 1 0 0 0 1\n")
+        f.write(f"S_rect_00: {w} {h}\n")
+    with open(f"{root}/calibration/calib_cam_to_pose.txt", "w") as f:
+        f.write("image_00: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+
+    # --- poses: straight path along +x, looking +z ---
+    os.makedirs(f"{root}/data_poses/{SEQ}", exist_ok=True)
+    c2ws = []
+    with open(f"{root}/data_poses/{SEQ}/cam0_to_world.txt", "w") as f, \
+         open(f"{root}/data_poses/{SEQ}/poses.txt", "w") as g:
+        for i in range(n_frames):
+            c2w = np.eye(4)
+            c2w[0, 3] = (i - (n_frames - 1) / 2) * 0.45
+            c2w[1, 3] = -0.3
+            c2ws.append(c2w)
+            f.write(f"{i} " + " ".join(f"{v:.6f}" for v in c2w.reshape(-1)) + "\n")
+            g.write(f"{i} " + " ".join(f"{v:.6f}" for v in c2w[:3].reshape(-1)) + "\n")
+
+    # --- 3D bboxes XML (cuboids; transform = R @ diag(size)) ---
+    os.makedirs(f"{root}/data_3d_bboxes/train", exist_ok=True)
+    rootel = ET.Element("opencv_storage")
+    cube = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                     for z in (-0.5, 0.5)])
+    for i, ((label, rid), c, s, R) in enumerate(zip(labels, centers, sizes, rots)):
+        obj = ET.SubElement(rootel, f"object_{i}")
+        T = np.eye(4)
+        T[:3, :3] = R @ np.diag(s)
+        T[:3, 3] = c
+        _mat_xml(obj, "transform", T)
+        _mat_xml(obj, "vertices", cube)
+        _mat_xml(obj, "faces", np.zeros((6, 4)))
+        ET.SubElement(obj, "label").text = label
+        ET.SubElement(obj, "semanticId").text = str(rid)
+        ET.SubElement(obj, "instanceId").text = str(int(inst_local[i]))
+        ET.SubElement(obj, "index").text = str(i)
+        ET.SubElement(obj, "start_frame").text = "0"
+        ET.SubElement(obj, "end_frame").text = str(n_frames - 1)
+        ET.SubElement(obj, "timestamp").text = "-1"
+        ET.SubElement(obj, "dynamic").text = "0"
+    ET.ElementTree(rootel).write(f"{root}/data_3d_bboxes/train/{SEQ}.xml")
+
+    # --- visible ids: every annotation, every frame ---
+    os.makedirs(f"{root}/visible_id/{SEQ}", exist_ok=True)
+    for i in range(n_frames):
+        with open(f"{root}/visible_id/{SEQ}/{i:010d}.txt", "w") as f:
+            f.write("\n".join(str(j) for j in range(len(labels))) + "\n")
+
+    # --- per-frame raycast renders ---
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    uv = np.stack([uu.reshape(-1) + 0.5, vv.reshape(-1) + 0.5], axis=1)
+    x = (uv[:, 0] - K[0, 2]) / K[0, 0]
+    y = (uv[:, 1] - K[1, 2]) / K[1, 1]
+    dirs_cam = np.stack([x, y, np.ones_like(x)], axis=1)
+    inv_norm = 1.0 / np.linalg.norm(dirs_cam, axis=1)   # ray-dist -> plane-z
+    near, far = 0.1, 60.0
+    shade = np.array([1.0, 0.75, 0.55])
+
+    for cam in ("image_00", "image_01"):
+        os.makedirs(f"{root}/data_2d_raw/{SEQ}/{cam}/data_rect", exist_ok=True)
+        os.makedirs(f"{root}/pspnet/{SEQ}/{cam}", exist_ok=True)
+    os.makedirs(f"{root}/sgm/{SEQ}/image_00", exist_ok=True)
+    d1 = f"{root}/data_2d_semantics/train/{SEQ}/image_00/semantic"
+    d2 = f"{root}/data_2d_semantics/train/{SEQ}/image_00/instance"
+    os.makedirs(d1, exist_ok=True)
+    os.makedirs(d2, exist_ok=True)
+
+    for fr in range(n_frames):
+        for cam_idx, cam in enumerate(("image_00", "image_01")):
+            c2w = c2ws[fr].copy()
+            if cam_idx == 1:
+                c2w[:3, 3] = c2w[:3, 3] + c2w[:3, 0] * baseline
+            R, t = c2w[:3, :3], c2w[:3, 3]
+            d = dirs_cam @ R.T
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            o = np.broadcast_to(t, d.shape)
+            t_hit, idx, face = _raycast(o, d, centers, half, rots, near, far)
+            hit = idx >= 0
+
+            sky = np.stack([0.45 + 0.25 * (uv[:, 1] / h),
+                            0.55 + 0.25 * (uv[:, 1] / h),
+                            0.9 * np.ones(h * w)], axis=1)
+            col = sky.copy()
+            col[hit] = palette[idx[hit]] * shade[face[hit]][:, None]
+            img = (col.reshape(h, w, 3).clip(0, 1) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                f"{root}/data_2d_raw/{SEQ}/{cam}/data_rect/{fr:010d}.png")
+
+            sem_raw = np.where(hit, raw_ids[np.clip(idx, 0, None)], _SKY_ID)
+            pseudo = sem_raw.copy()
+            flip = rng.uniform(size=pseudo.shape) < label_noise
+            pseudo[flip] = rng.choice(_NOISE_IDS, size=int(flip.sum()))
+            np.save(f"{root}/pspnet/{SEQ}/{cam}/{fr:010d}.npy",
+                    pseudo.reshape(h, w).astype(np.int32))
+
+            if cam_idx == 0:
+                # sgm: PLANE-Z depth (stereo convention), sparsified
+                z = np.where(hit, t_hit * inv_norm, 0.0)
+                keep = rng.uniform(size=z.shape) < depth_keep
+                np.save(f"{root}/sgm/{SEQ}/image_00/{fr:010d}.npy",
+                        np.where(keep, z, 0.0).reshape(h, w).astype(np.float32))
+
+                Image.fromarray(sem_raw.reshape(h, w).astype(np.uint8)).save(
+                    f"{d1}/{fr:010d}.png")
+                inst_map = sem_raw.astype(np.int64) * 1000
+                inst_map[hit] += inst_local[idx[hit]]
+                Image.fromarray(inst_map.reshape(h, w).astype(np.int32),
+                                mode="I").save(f"{d2}/{fr:010d}.png")
+    return SEQ
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/demo_kitti"
+    os.makedirs(out, exist_ok=True)
+    print(write_demo_tree(out), "->", out)

@@ -97,15 +97,20 @@ def main() -> int:
     # user override always beats the synthesize-tree defaults.
     presets = []
     if args.synthesize_tree:
-        sys.path.insert(0, os.path.join(REPO, "tests"))
-        from test_kitti360 import make_fake_kitti
+        from panopticnerf_tpu.data.demo_tree import write_demo_tree
 
         os.makedirs(args.synthesize_tree, exist_ok=True)
-        make_fake_kitti(args.synthesize_tree)
+        write_demo_tree(args.synthesize_tree)
+        # Presets match write_demo_tree's defaults (8 frames at 0..7, 48x64,
+        # content within ~20 m). The geometrically consistent tree is the
+        # quality proxy for the real dataset — the handcrafted loader
+        # fixture (tests/test_kitti360.py) deliberately mislabels vs its
+        # primitives and caps mIoU near 0.5.
         presets = ["data.root", args.synthesize_tree,
-                   "data.frame_start", "100", "data.frame_num", "3",
-                   "data.test_every", "3", "data.max_primitives", "4",
-                   "data.max_intervals", "4", "data.ratio", "1.0"]
+                   "data.frame_start", "0", "data.frame_num", "8",
+                   "data.test_every", "4", "data.max_primitives", "16",
+                   "data.max_intervals", "8", "data.ratio", "1.0",
+                   "render.far", "40.0"]
     elif args.root:
         presets = ["data.root", args.root]
     common = presets + list(args.opts)
