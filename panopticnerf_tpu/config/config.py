@@ -50,6 +50,13 @@ class DataConfig:
     # supervising ray distance with raw plane-z silently biases geometry.
     # See docs/MIGRATION.md "Depth convention".
     depth_convention: str = "plane_z"
+    # Refined pseudo-label filtering (-360 branch, reconstructed): demote
+    # pseudo-labels agreeing with fewer than this many of their 8 spatial
+    # neighbors to ignore, at load time. Targets segmenter speckle noise in
+    # NO-primitive regions, which the in-loss consistency filter cannot
+    # judge and which drives the long-run mIoU/PQ decay (BASELINE.md
+    # ablation). 0 = off; 2-3 are sensible values.
+    pseudo_clean_neighbors: int = 0
     # Ray batching.
     n_rays: int = 2048             # rays per train batch (per step, global)
     # Views per batch: 0 = fully mixed (every ray draws a view); G > 0 =

@@ -417,6 +417,10 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
                 lab = _load_label_map(os.path.join(root, "pspnet", seq, cam, f"{frame:010d}"), hw)
                 if to_train_ids:
                     lab = L.ids_to_trainids(lab)
+                if dc.pseudo_clean_neighbors > 0:
+                    from panopticnerf_tpu.data.pseudo import majority_clean
+
+                    lab = majority_clean(lab, dc.pseudo_clean_neighbors)
             else:
                 lab = np.full(hw, IGNORE, np.int32)
             pseudos.append(lab)

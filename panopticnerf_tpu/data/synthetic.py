@@ -197,6 +197,11 @@ def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
     flip = rng.uniform(size=pseudo.shape) < 0.07
     pseudo[flip] = rng.integers(0, num_classes, size=int(flip.sum()))
     pseudo[~valid_masks] = IGNORE
+    if dc.pseudo_clean_neighbors > 0:
+        from panopticnerf_tpu.data.pseudo import majority_clean
+
+        pseudo = np.stack([majority_clean(p, dc.pseudo_clean_neighbors)
+                           for p in pseudo])
     # sparse depth: keep ~25% of pixels (emulates SGM holes)
     keep = rng.uniform(size=depth.shape) < 0.25
     depth = np.where(keep, depth, 0.0)
