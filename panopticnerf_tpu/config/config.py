@@ -133,6 +133,13 @@ class RenderConfig:
     # primitive-guided (covers geometry outside annotated primitives, e.g.
     # sky); the -360 paper keeps some free-space samples.
     bg_sample_frac: float = 0.25
+    # Eval/visualize-specific sample counts (0 / -1 = same as training).
+    # The full-image render is MLP-bound (~55% MXU on the forward chain,
+    # BASELINE.md fwd microbench), so FPS scales ~linearly with points per
+    # ray; guided sampling concentrates samples inside primitive intervals,
+    # where fewer samples cost little quality (measured in BASELINE.md).
+    eval_n_samples: int = 0
+    eval_n_importance: int = -1
     # Full-image eval rendering: rays per on-device tile (lax.map over tiles
     # inside one jit — replaces the reference's Python cfg.chunk loop).
     ray_tile: int = 4096

@@ -36,6 +36,24 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# --- backward-kernel tuning switches (trace-time; flipped by tools/ab_bwd.py
+# for interleaved A/B on hardware) ---
+# "dg": express dW = sum_n inp[n]::g[n] and g_in = g @ W^T as dot_generals
+#       with contraction dimension numbers, letting Mosaic feed the MXU
+#       without materializing operand transposes in VMEM.
+# "transpose": the round-2 formulation (explicit inp.T / w.T).
+BWD_MATMUL_MODE = "dg"
+# Accumulate dW across grid steps in bf16 instead of f32 (halves the
+# read-modify-write traffic on the persistent VMEM accumulator).
+DW_ACCUM_BF16 = False
+# Store recomputed activations in the compute dtype (bf16) instead of f32
+# inside the backward kernel — halves the per-tile VMEM activation
+# footprint (8 x tile x 256), trading it for cast ops on the relu masks.
+ACT_STORE_BF16 = False
+# Backward-kernel tile override (None = same as forward tile).
+BWD_TILE = None
+
+
 def pack_trunk(weights: Sequence[jnp.ndarray], biases: Sequence[jnp.ndarray],
                skips: tuple[int, ...], f: int, dtype=jnp.float32):
     """Pack per-layer (F_in_i, W) weights into (L, In_max, W_pad) + (L, 1, W_pad).
@@ -64,10 +82,11 @@ def pack_trunk(weights: Sequence[jnp.ndarray], biases: Sequence[jnp.ndarray],
 
 
 
-def _recompute_forward(x, w_ref, b_ref, layers, skips):
-    """Shared trunk math; returns post-relu activations as f32 (comparisons
-    and accumulation stay f32 — bf16 compares are not supported by Mosaic on
-    all TPU targets); matmul inputs are cast to the compute dtype."""
+def _recompute_forward(x, w_ref, b_ref, layers, skips, store_dtype=None):
+    """Shared trunk math; activations are computed in f32 (comparisons and
+    accumulation stay f32 — bf16 compares are not supported by Mosaic on
+    all TPU targets) and optionally STORED as `store_dtype` (bf16 halves
+    the per-tile VMEM footprint); matmul inputs cast to the compute dtype."""
     acts = []
     h_f32 = None
     for i in range(layers):
@@ -79,7 +98,7 @@ def _recompute_forward(x, w_ref, b_ref, layers, skips):
         w = w_ref[i][: inp.shape[-1], :]
         pre = jnp.dot(inp, w, preferred_element_type=jnp.float32) + b_ref[i]
         h_f32 = jnp.maximum(pre, 0.0)
-        acts.append(h_f32)
+        acts.append(h_f32 if store_dtype is None else h_f32.astype(store_dtype))
     return acts
 
 
@@ -96,13 +115,16 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, dx_ref, dw_ref, db_ref, *,
         db_ref[:] = jnp.zeros_like(db_ref)
 
     x = x_ref[:]
-    acts = _recompute_forward(x, w_ref, b_ref, layers, skips)
+    store_dt = x.dtype if ACT_STORE_BF16 else None
+    acts = _recompute_forward(x, w_ref, b_ref, layers, skips,
+                              store_dtype=store_dt)
 
     cdt = x.dtype  # compute dtype for MXU inputs (bf16 at flagship config)
+    use_dg = BWD_MATMUL_MODE == "dg"
     g = g_ref[:].astype(jnp.float32)
     gx = jnp.zeros((x.shape[0], f_pad), jnp.float32)
     for i in reversed(range(layers)):
-        g = g * (acts[i] > 0.0).astype(jnp.float32)
+        g = g * (acts[i].astype(jnp.float32) > 0.0).astype(jnp.float32)
         if i == 0:
             inp = x
         else:
@@ -110,12 +132,26 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, dx_ref, dw_ref, db_ref, *,
             inp = jnp.concatenate([prev, x], -1) if i in skips else prev
         in_w = inp.shape[-1]
         g_c = g.astype(cdt)  # bf16 MXU inputs, f32 accumulation
-        dw_ref[i, :in_w, :] += jnp.dot(
-            inp.T, g_c, preferred_element_type=jnp.float32
-        )
-        db_ref[i, 0, :] += jnp.sum(g, axis=0)
-        g_inp = jnp.dot(g_c, w_ref[i][:in_w, :].T,
-                        preferred_element_type=jnp.float32)
+        if use_dg:
+            # dW[k, o] = sum_n inp[n, k] g[n, o]: contract the point axis of
+            # both operands directly — no transposed VMEM copy of `inp`.
+            dw = jax.lax.dot_general(
+                inp, g_c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dw = jnp.dot(inp.T, g_c, preferred_element_type=jnp.float32)
+        dw_ref[i, :in_w, :] += dw.astype(dw_ref.dtype)
+        db_ref[i, 0, :] += jnp.sum(g, axis=0).astype(db_ref.dtype)
+        if use_dg:
+            # g_in[n, k] = sum_o g[n, o] W[k, o]: contract the output axis
+            # of both operands — no W^T copy.
+            g_inp = jax.lax.dot_general(
+                g_c, w_ref[i][:in_w, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            g_inp = jnp.dot(g_c, w_ref[i][:in_w, :].T,
+                            preferred_element_type=jnp.float32)
         if i == 0:
             gx = gx + g_inp[:, :f_pad]
         elif i in skips:
@@ -174,15 +210,17 @@ def _trunk_bwd_rule(skips, dims, tile, interpret, res, g):
     f, f_pad, w_pad, width = dims
     layers = wp.shape[0]
     n = x_enc.shape[0]
+    tile = BWD_TILE or tile
     x_p, n_pad = _pad_points(x_enc, f_pad, tile)
     g_p = jnp.zeros((n_pad, w_pad), jnp.float32).at[:n, :width].set(g.astype(jnp.float32))
+    acc_dt = jnp.bfloat16 if DW_ACCUM_BF16 else jnp.float32
     dx, dwp, dbp = pl.pallas_call(
         functools.partial(_bwd_kernel, layers=layers, skips=tuple(skips),
                           f_pad=f_pad, w_pad=w_pad),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, f_pad), x_enc.dtype),
-            jax.ShapeDtypeStruct(wp.shape, jnp.float32),
-            jax.ShapeDtypeStruct(bp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wp.shape, acc_dt),
+            jax.ShapeDtypeStruct(bp.shape, acc_dt),
         ),
         grid_spec=pl.GridSpec(
             grid=(n_pad // tile,),

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from panopticnerf_tpu.config import Config
 from panopticnerf_tpu.ops.intersect import RayIntervals
-from panopticnerf_tpu.render.renderer import RenderOut, render_rays
+from panopticnerf_tpu.render.renderer import RenderOut, eval_render_cfg, render_rays
 
 
 def render_image_rays_sharded(
@@ -26,6 +26,7 @@ def render_image_rays_sharded(
     iv: Optional[RayIntervals] = None,
 ):
     """Same contract as render_image_rays, with tiles sharded over `mesh`."""
+    cfg = eval_render_cfg(cfg)
     axis = cfg.parallel.mesh_axis_name
     n_dev = mesh.devices.size
     tile = cfg.render.ray_tile

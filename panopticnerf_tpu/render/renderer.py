@@ -149,6 +149,22 @@ def render_rays(
     return pack(out_f, sem_f, lab_f, cnt_f, z_all, coarse=coarse)
 
 
+def eval_render_cfg(cfg: Config) -> Config:
+    """Config used by full-image eval/visualize renders: applies the
+    eval-specific sample counts (render.eval_n_samples / eval_n_importance;
+    0 / -1 = follow training). The render is MLP-bound, so FPS scales with
+    points per ray; quality impact is measured in BASELINE.md."""
+    import dataclasses
+
+    rc = cfg.render
+    ns = rc.eval_n_samples if rc.eval_n_samples > 0 else rc.n_samples
+    ni = rc.eval_n_importance if rc.eval_n_importance >= 0 else rc.n_importance
+    if (ns, ni) == (rc.n_samples, rc.n_importance):
+        return cfg
+    return dataclasses.replace(
+        cfg, render=dataclasses.replace(rc, n_samples=ns, n_importance=ni))
+
+
 def render_image_rays(
     model, params, rays_o, rays_d, bounds, cfg: Config,
     iv: Optional[RayIntervals] = None,
@@ -158,6 +174,7 @@ def render_image_rays(
     Stays inside one jit for any image size with a single compile per tile
     shape (SURVEY.md §5.7). Returns a RenderOut with leading dim = n_rays.
     """
+    cfg = eval_render_cfg(cfg)
     tile = cfg.render.ray_tile
     n = rays_o.shape[0]
     n_pad = (-n) % tile

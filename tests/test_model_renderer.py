@@ -148,3 +148,35 @@ def test_bfloat16_compute_path():
     assert bool(jnp.isfinite(out.rgb).all())
     # params stay f32
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+
+
+def test_eval_sample_count_override():
+    """render.eval_n_samples / eval_n_importance swap in at eval render
+    time only (0/-1 = follow training); the tiled render honors them."""
+    import dataclasses
+
+    from panopticnerf_tpu.data.synthetic import build_synthetic_dataset
+    from panopticnerf_tpu.data.dataset import view_rays
+    from panopticnerf_tpu.render.renderer import eval_render_cfg
+
+    cfg = small_cfg(render__n_importance=8)
+    assert eval_render_cfg(cfg) is cfg  # defaults: no-op
+
+    cfg2 = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, eval_n_samples=4,
+                                        eval_n_importance=0))
+    ec = eval_render_cfg(cfg2)
+    assert ec.render.n_samples == 4 and ec.render.n_importance == 0
+    assert cfg2.render.n_samples == 8  # training cfg untouched
+
+    cfg2.data.synthetic_image_hw = (16, 24)
+    cfg2.data.synthetic_num_frames = 2
+    ds = build_synthetic_dataset(cfg2, seed=0)
+    model, params = init_model(cfg2)
+    o, d = view_rays(ds, 0)
+    cfg2.render.ray_tile = 128
+    out = jax.jit(lambda p: render_image_rays(
+        model, p, o, d, SceneBounds(ds.bounds_center, ds.bounds_scale), cfg2
+    ))(params)
+    assert out.rgb.shape == (o.shape[0], 3)
+    assert bool(jnp.isfinite(out.rgb).all())
