@@ -293,6 +293,21 @@ def main():
     render_fps = r_iters / (time.time() - t0)
     h, w = cfg.data.synthetic_image_hw
 
+    # Same frame with the eval-sample knob at 32+32 (render.eval_n_samples):
+    # 2.0x the frame rate at -0.018 mIoU on the shipped checkpoint
+    # (BASELINE.md round-3 eval-sample study).
+    cfg_e32 = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, eval_n_samples=32, eval_n_importance=32))
+    render32 = jax.jit(
+        lambda p: render_image_rays(model, p, o, d, bounds, cfg_e32, iv=iv))
+    out = render32(s.params)
+    float(out.rgb[0, 0])
+    t0 = time.time()
+    for _ in range(r_iters):
+        out = render32(s.params)
+    float(out.rgb[0, 0])
+    render_fps_e32 = r_iters / (time.time() - t0)
+
     # ---------- eager-equivalent baseline: median of repeats ----------
     ds_host = (
         np.asarray(ds.images), np.asarray(ds.K[0]), np.asarray(ds.c2w),
@@ -337,6 +352,7 @@ def main():
         "samples_per_ray": [cfg.render.n_samples, cfg.render.n_importance],
         "fused_coarse_only_rays_per_sec": round(fused_coarse_rps, 1),
         "render_fps": round(render_fps, 2),
+        "render_fps_eval32": round(render_fps_e32, 2),
         "render_image_hw": [h, w],
     }))
 

@@ -41,17 +41,27 @@ def main():
     bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
 
     fns = {}
-    variants = [("xla", False, "trunk", 4096), ("trunk", True, "trunk", 4096),
-                ("xla_8k", False, "trunk", 8192)]
+    # (name, use_pallas, mode, tile, eval_ns, eval_ni)
+    variants = [("xla", False, "trunk", 4096, 0, -1),
+                ("trunk", True, "trunk", 4096, 0, -1),
+                ("xla_8k", False, "trunk", 8192, 0, -1)]
     if os.environ.get("ABR_ALL"):
-        variants += [("field", True, "field", 4096),
-                     ("trunk_8k", True, "trunk", 8192),
-                     ("trunk_33k", True, "trunk", 33088)]
-    for name, flag, mode, tile in variants:
+        variants += [("field", True, "field", 4096, 0, -1),
+                     ("trunk_8k", True, "trunk", 8192, 0, -1),
+                     ("trunk_33k", True, "trunk", 33088, 0, -1)]
+    if os.environ.get("ABR_SAMPLES"):
+        # eval-sample-count sweep (render.eval_n_samples knob)
+        variants = [("64+64", False, "trunk", 4096, 0, -1),
+                    ("48+48", False, "trunk", 4096, 48, 48),
+                    ("32+32", False, "trunk", 4096, 32, 32),
+                    ("32+16", False, "trunk", 4096, 32, 16),
+                    ("24+24", False, "trunk", 4096, 24, 24)]
+    for name, flag, mode, tile, ens, eni in variants:
         cfg = dataclasses.replace(
             base,
             model=dataclasses.replace(base.model, use_pallas=flag, pallas_mode=mode),
-            render=dataclasses.replace(base.render, ray_tile=tile),
+            render=dataclasses.replace(base.render, ray_tile=tile,
+                                       eval_n_samples=ens, eval_n_importance=eni),
         )
         model = resolve_train_model(cfg, flax_model)
         fn = jax.jit(lambda p, c=cfg, m=model: render_image_rays(

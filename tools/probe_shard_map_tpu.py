@@ -49,8 +49,12 @@ ds = build_synthetic_dataset(cfg, seed=0)
 bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
 
 
-def local_loss(p, b, ivx, k):
+def local_loss(p, dsx, b, k):
+    # grouped Pallas INTERSECTION inside the region (round-3 production
+    # route, parallel/step.py intersect_in_region) + the trunk kernel.
     k_loc = jax.random.fold_in(k, jax.lax.axis_index("data"))
+    ivx = batch_intervals(dsx, b, cfg.render.near, cfg.render.far,
+                          cfg.data.max_intervals, 4, use_pallas=True)
     out = render_rays(tmodel, p, b.rays_o, b.rays_d, bounds, k_loc, cfg,
                       iv=ivx, train=True)
     return compute_losses(out, b, cfg, axis_name="data")
@@ -60,21 +64,20 @@ def local_loss(p, b, ivx, k):
 def step(p, key):
     kb, kr = jax.random.split(key)
     batch = sample_ray_batch(kb, ds, jnp.arange(4), cfg.data.n_rays, 4)
-    iv = batch_intervals(ds, batch, cfg.render.near, cfg.render.far,
-                         cfg.data.max_intervals, 4)
     ray = P("data")
+    ds_specs = jax.tree.map(lambda _: P(), ds)
     smap = jax.shard_map(
         local_loss, mesh=mesh,
-        in_specs=(P(), type(batch)(*([ray] * len(batch))),
-                  type(iv)(*([ray] * len(iv))), P()),
+        in_specs=(P(), ds_specs, type(batch)(*([ray] * len(batch))), P()),
         out_specs=P(), check_vma=False)
-    (l, st), g = jax.value_and_grad(lambda q: smap(q, batch, iv, kr),
+    (l, st), g = jax.value_and_grad(lambda q: smap(q, ds, batch, kr),
                                     has_aux=True)(p)
     gn = sum(jnp.sum(x * x) for x in jax.tree.leaves(g)) ** 0.5
     return l, gn
 
 
 l, gn = step(params, jax.random.key(1))
-print("shard_map+pallas on TPU: loss", float(l), "gradnorm", float(gn), flush=True)
+print("shard_map+pallas(trunk+intersect) on TPU: loss", float(l),
+      "gradnorm", float(gn), flush=True)
 assert np.isfinite(float(l)) and float(gn) > 0
 print("OK", flush=True)
