@@ -79,10 +79,14 @@ def _scene(n_boxes: int, rng: np.random.Generator):
 
 def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64),
                     n_boxes: int = 6, seed: int = 0, label_noise: float = 0.05,
-                    depth_keep: float = 0.6, baseline: float = 0.5) -> str:
-    """Write the tree under `root`; returns the sequence name."""
+                    depth_keep: float = 0.6, baseline: float = 0.5,
+                    seq: str = SEQ) -> str:
+    """Write the tree under `root`; returns the sequence name. Call with
+    several `seq`/`seed` values over one root to build a multi-sequence
+    tree (data.sequences; BASELINE config 5)."""
     from PIL import Image
 
+    SEQ = seq  # noqa: N806 — shadow the module default for the body below
     h, w = hw
     rng = np.random.default_rng(seed)
     centers, sizes, rots, labels, palette = _scene(n_boxes, rng)

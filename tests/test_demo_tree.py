@@ -103,6 +103,46 @@ def test_nearest_interval_semantics_match_gt(demo_root):
         assert agree > 0.97, f"view {view}: fixed/GT agreement {agree:.3f}"
 
 
+def test_multi_sequence_demo_tree_trains(tmp_path):
+    """BASELINE config 5 path on KITTI-format data: two demo sequences in
+    one tree, concatenated by make_dataset (data.sequences), train one step
+    + eval views exist from both sequences."""
+    import jax
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.data import make_dataset
+    from panopticnerf_tpu.data.demo_tree import write_demo_tree
+    from panopticnerf_tpu.models import init_params, make_network
+    from panopticnerf_tpu.train import make_train_state, make_train_step
+
+    root = str(tmp_path / "multi")
+    os.makedirs(root)
+    s1 = write_demo_tree(root, n_frames=2, hw=(32, 48), n_boxes=3, seed=0,
+                         seq="2013_05_28_drive_0000_sync")
+    s2 = write_demo_tree(root, n_frames=2, hw=(32, 48), n_boxes=3, seed=7,
+                         seq="2013_05_28_drive_0002_sync")
+    cfg = _cfg(root)
+    cfg.data.frame_num = 2
+    cfg.data.sequences = (s1, s2)
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 16
+    cfg.model.color_width = 8
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 4
+    cfg.data.n_rays = 64
+
+    ds, train_ids, test_ids = make_dataset(cfg)
+    assert ds.images.shape[0] == 8  # 2 seqs x 2 frames x stereo
+    # scenes differ across sequences (different seeds)
+    assert not np.array_equal(np.asarray(ds.prim_w2p[0]), np.asarray(ds.prim_w2p[4]))
+
+    model = make_network(cfg)
+    state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+    step = make_train_step(cfg, model, donate=False)
+    state2, stats = step(state, ds, jnp.asarray(train_ids), jax.random.key(1))
+    assert np.isfinite(float(stats["loss_total"]))
+
+
 def test_pseudo_label_noise_and_gt_instances(demo_root, tmp_path):
     root = str(tmp_path / "noisy")
     os.makedirs(root)
