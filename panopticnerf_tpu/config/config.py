@@ -87,6 +87,11 @@ class DataConfig:
     # Also emit one MEI-fisheye view per frame (exercises the -360 path
     # end-to-end with exact fisheye GT).
     synthetic_fisheye: bool = False
+    # EXTRA pseudo-label flip rate applied only where GT is sky (the
+    # no-primitive region the in-loss consistency filter cannot judge) —
+    # models the documented long-run decay driver for the filtering
+    # ablation (BASELINE.md).
+    synthetic_sky_noise: float = 0.0
 
 
 @dataclass

@@ -195,6 +195,11 @@ def build_synthetic_dataset(cfg: Config, seed: int = 0) -> DeviceDataset:
     # --- pseudo-labels: GT + noise ---
     pseudo = gt_sem.copy()
     flip = rng.uniform(size=pseudo.shape) < 0.07
+    if dc.synthetic_sky_noise > 0:
+        # concentrate extra noise in the no-primitive (sky) region — the
+        # pixels the in-loss consistency filter cannot judge
+        flip |= (gt_sem == SKY_CLASS) & (
+            rng.uniform(size=pseudo.shape) < dc.synthetic_sky_noise)
     pseudo[flip] = rng.integers(0, num_classes, size=int(flip.sum()))
     pseudo[~valid_masks] = IGNORE
     if dc.pseudo_clean_neighbors > 0:
