@@ -80,10 +80,18 @@ def _scene(n_boxes: int, rng: np.random.Generator):
 def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64),
                     n_boxes: int = 6, seed: int = 0, label_noise: float = 0.05,
                     depth_keep: float = 0.6, baseline: float = 0.5,
-                    seq: str = SEQ) -> str:
+                    seq: str = SEQ, fisheye: bool = False) -> str:
     """Write the tree under `root`; returns the sequence name. Call with
     several `seq`/`seed` values over one root to build a multi-sequence
-    tree (data.sequences; BASELINE config 5)."""
+    tree (data.sequences; BASELINE config 5).
+
+    With `fisheye=True` the tree additionally carries the -360 branch's
+    left-fisheye streams (calibration/image_02.yaml MEI intrinsics,
+    data_2d_raw/.../image_02/data_rgb, pspnet/.../image_02), raycast from
+    the cam0 pose through the MEI camera model — so `data.use_fisheye`
+    joint perspective+fisheye batches run on geometrically consistent
+    KITTI-format data. The MEI c2p is identity and poses.txt already holds
+    the cam0 pose, so the fisheye view shares cam0's pose exactly."""
     from PIL import Image
 
     SEQ = seq  # noqa: N806 — shadow the module default for the body below
@@ -113,6 +121,25 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
         f.write(f"S_rect_00: {w} {h}\n")
     with open(f"{root}/calibration/calib_cam_to_pose.txt", "w") as f:
         f.write("image_00: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+        if fisheye:
+            f.write("image_02: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+    # MEI fisheye intrinsics in tree-native pixels (image_width == w, so
+    # the loader's fisheye_params_scaled is the identity at ratio 1.0)
+    fe_fp = np.array([0.9 * w, 0.9 * h, w / 2, h / 2, 2.0, 0.01, -0.002],
+                     np.float32)
+    if fisheye:
+        with open(f"{root}/calibration/image_02.yaml", "w") as f:
+            f.write(
+                "%YAML:1.0\n---\n"
+                f"image_width: {w}\nimage_height: {h}\n"
+                "mirror_parameters:\n"
+                f"   xi: {fe_fp[4]}\n"
+                "distortion_parameters:\n"
+                f"   k1: {fe_fp[5]}\n   k2: {fe_fp[6]}\n"
+                "projection_parameters:\n"
+                f"   gamma1: {fe_fp[0]}\n   gamma2: {fe_fp[1]}\n"
+                f"   u0: {fe_fp[2]}\n   v0: {fe_fp[3]}\n"
+            )
 
     # --- poses: straight path along +x, looking +z ---
     os.makedirs(f"{root}/data_poses/{SEQ}", exist_ok=True)
@@ -166,9 +193,26 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
     near, far = 0.1, 60.0
     shade = np.array([1.0, 0.75, 0.55])
 
+    fe_dirs = fe_valid = None
+    if fisheye:
+        from panopticnerf_tpu.data.synthetic import _mei_unproject_np
+
+        fe_dirs = _mei_unproject_np(uv, fe_fp)
+        xd = (uv[:, 0] - fe_fp[2]) / fe_fp[0]
+        yd = (uv[:, 1] - fe_fp[3]) / fe_fp[1]
+        x_u, y_u = xd.copy(), yd.copy()
+        for _ in range(10):
+            rr = x_u * x_u + y_u * y_u
+            s_ = 1.0 + fe_fp[5] * rr + fe_fp[6] * rr * rr
+            x_u, y_u = xd / s_, yd / s_
+        fe_valid = (1.0 + (1.0 - fe_fp[4] ** 2) * (x_u ** 2 + y_u ** 2)) > 1e-4
+
     for cam in ("image_00", "image_01"):
         os.makedirs(f"{root}/data_2d_raw/{SEQ}/{cam}/data_rect", exist_ok=True)
         os.makedirs(f"{root}/pspnet/{SEQ}/{cam}", exist_ok=True)
+    if fisheye:
+        os.makedirs(f"{root}/data_2d_raw/{SEQ}/image_02/data_rgb", exist_ok=True)
+        os.makedirs(f"{root}/pspnet/{SEQ}/image_02", exist_ok=True)
     os.makedirs(f"{root}/sgm/{SEQ}/image_00", exist_ok=True)
     d1 = f"{root}/data_2d_semantics/train/{SEQ}/image_00/semantic"
     d2 = f"{root}/data_2d_semantics/train/{SEQ}/image_00/instance"
@@ -216,6 +260,34 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
                 inst_map[hit] += inst_local[idx[hit]]
                 Image.fromarray(inst_map.reshape(h, w).astype(np.int32),
                                 mode="I").save(f"{d2}/{fr:010d}.png")
+
+        if fisheye:
+            # left fisheye from the cam0 pose (identity c2p, IMU pose =
+            # cam0 pose — see docstring); outside the MEI FOV circle the
+            # image is black and the pseudo-label is raw id 0 (-> ignore)
+            c2w = c2ws[fr]
+            R, t = c2w[:3, :3], c2w[:3, 3]
+            d = fe_dirs @ R.T
+            o = np.broadcast_to(t, d.shape)
+            t_hit, idx, face = _raycast(o, d, centers, half, rots, near, far)
+            hit = (idx >= 0) & fe_valid
+
+            sky = np.stack([0.45 + 0.25 * (uv[:, 1] / h),
+                            0.55 + 0.25 * (uv[:, 1] / h),
+                            0.9 * np.ones(h * w)], axis=1)
+            col = np.where(fe_valid[:, None], sky, 0.0)
+            col[hit] = palette[idx[hit]] * shade[face[hit]][:, None]
+            img = (col.reshape(h, w, 3).clip(0, 1) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                f"{root}/data_2d_raw/{SEQ}/image_02/data_rgb/{fr:010d}.png")
+
+            sem_raw = np.where(hit, raw_ids[np.clip(idx, 0, None)], _SKY_ID)
+            sem_raw = np.where(fe_valid, sem_raw, 0)
+            pseudo = sem_raw.copy()
+            flip = (rng.uniform(size=pseudo.shape) < label_noise) & fe_valid
+            pseudo[flip] = rng.choice(_NOISE_IDS, size=int(flip.sum()))
+            np.save(f"{root}/pspnet/{SEQ}/image_02/{fr:010d}.npy",
+                    pseudo.reshape(h, w).astype(np.int32))
     return SEQ
 
 

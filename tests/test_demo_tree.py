@@ -143,6 +143,49 @@ def test_multi_sequence_demo_tree_trains(tmp_path):
     assert np.isfinite(float(stats["loss_total"]))
 
 
+def test_fisheye_streams_consistent(tmp_path):
+    """fisheye=True trees carry MEI image_02 streams consistent with the
+    scene: the loader's yaml parse + pose path + `pixel_dirs` fisheye
+    unprojection + interval intersection must reproduce the written
+    (noise-free) pseudo-labels on in-FOV primitive pixels."""
+    from panopticnerf_tpu.data.dataset import view_primitives, view_rays
+    from panopticnerf_tpu.ops import intersect_rays
+
+    root = str(tmp_path / "fe")
+    os.makedirs(root)
+    write_demo_tree(root, n_frames=2, hw=(32, 48), n_boxes=4, seed=3,
+                    label_noise=0.0, fisheye=True)
+    cfg = _cfg(root)
+    cfg.data.frame_num = 2
+    cfg.data.use_fisheye = True
+    ds = build_kitti360_dataset(cfg)
+    assert ds.images.shape[0] == 6            # 2 frames x (cam0+cam1+fe02)
+    assert ds.cam_model is not None
+    cam_m = np.asarray(ds.cam_model)
+    assert (cam_m == 1).sum() == 2
+    fe_view = int(np.flatnonzero(cam_m == 1)[0])
+    vmask = np.asarray(ds.valid_mask[fe_view]).reshape(-1)
+    assert 0.1 < vmask.mean() < 1.0           # FOV circle cuts the corners
+    # fisheye view shares cam0's pose (identity c2p; poses.txt = cam0 pose)
+    cam0_view = int(np.flatnonzero(cam_m == 0)[0])
+    np.testing.assert_allclose(np.asarray(ds.c2w[fe_view]),
+                               np.asarray(ds.c2w[cam0_view]), atol=1e-5)
+
+    o, d = view_rays(ds, fe_view)
+    iv = intersect_rays(o, d, view_primitives(ds, fe_view), cfg.render.near,
+                        cfg.render.far, cfg.data.max_intervals)
+    mask = np.asarray(iv.mask)
+    t_in = np.where(mask, np.asarray(iv.t_in), np.inf)
+    nearest = t_in.argmin(1)
+    sem = np.asarray(iv.semantic)[np.arange(len(nearest)), nearest]
+    has = mask.any(1)
+    pseudo = np.asarray(ds.pseudo[fe_view]).reshape(-1)   # noise-free = GT
+    px = has & vmask & (pseudo != 255) & (pseudo != 10)   # off sky/ignore
+    assert px.sum() > 50
+    agree = (sem[px] == pseudo[px]).mean()
+    assert agree > 0.95, f"fisheye fixed/pseudo agreement {agree:.3f}"
+
+
 def test_pseudo_label_noise_and_gt_instances(demo_root, tmp_path):
     root = str(tmp_path / "noisy")
     os.makedirs(root)
