@@ -43,3 +43,14 @@ def test_user_pretrain_overrides_survive():
 def test_user_init_from_overrides_chain():
     cfg, _ = _derive(prev="auto/ckpt", opts=("train.init_from", "mine/ckpt"))
     assert cfg.train.init_from == "mine/ckpt"
+
+
+def test_360_stage_derivation():
+    """--fisheye appends the kitti360_360 stage; warm-chained it drops the
+    in-run pretrain gate and keeps joint fisheye batches on."""
+    assert run_staged.STAGE_360 == "kitti360_360"
+    cfg, notes = _derive(name=run_staged.STAGE_360, prev="pan/ckpt", steps=500)
+    assert cfg.data.use_fisheye is True
+    assert cfg.train.pretrain == ""
+    assert cfg.train.init_from == "pan/ckpt"
+    assert any("gate dropped" in n for n in notes)

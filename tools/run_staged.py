@@ -36,6 +36,10 @@ STAGES = [
     "kitti360_panoptic",
 ]
 
+# -360 continuation: warm-start the full panoptic model into the joint
+# perspective+fisheye objective (BASELINE config 5 / [pn360] branch).
+STAGE_360 = "kitti360_360"
+
 
 def stage_cfg(name, prev_ckpt, steps, common, user_keys):
     """Derive one stage's config. Pure (no training) so tests can assert the
@@ -82,8 +86,13 @@ def main() -> int:
                         "(hardware smoke without the real dataset)")
     p.add_argument("--steps", type=int, default=0,
                    help="override train.max_steps for every stage (0 = config)")
-    p.add_argument("--stages", type=int, default=len(STAGES),
-                   help="run only the first N stages")
+    p.add_argument("--stages", type=int, default=0,
+                   help="run only the first N stages (0 = all)")
+    p.add_argument("--fisheye", action="store_true",
+                   help="append the -360 stage (kitti360_360: joint "
+                        "perspective+fisheye batches) after the panoptic "
+                        "stage; with --synthesize-tree the tree also gets "
+                        "MEI image_02 streams")
     # parse_known_args: KEY VALUE overrides may be interleaved with flags.
     args, opts = p.parse_known_args()
     for tok in opts:
@@ -100,7 +109,7 @@ def main() -> int:
         from panopticnerf_tpu.data.demo_tree import write_demo_tree
 
         os.makedirs(args.synthesize_tree, exist_ok=True)
-        write_demo_tree(args.synthesize_tree)
+        write_demo_tree(args.synthesize_tree, fisheye=args.fisheye)
         # Presets match write_demo_tree's defaults (8 frames at 0..7, 48x64,
         # content within ~20 m). The geometrically consistent tree is the
         # quality proxy for the real dataset — the handcrafted loader
@@ -116,9 +125,12 @@ def main() -> int:
     common = presets + list(args.opts)
     user_keys = set(args.opts[::2])
 
+    stages = list(STAGES) + ([STAGE_360] if args.fisheye else [])
+    if args.stages:
+        stages = stages[: args.stages]
     prev_ckpt = ""
     results = {}
-    for name in STAGES[: args.stages]:
+    for name in stages:
         cfg, notes = stage_cfg(name, prev_ckpt, args.steps, common, user_keys)
         print(f"=== stage {name} "
               f"({'warm from ' + prev_ckpt if prev_ckpt else 'from scratch'}) ===",
