@@ -119,6 +119,16 @@ class ModelConfig:
     # XLA heads — fastest in-step on v5e), "hybrid" (XLA fwd + whole-field
     # Pallas bwd), "field" (all-Pallas whole field).
     pallas_mode: str = "trunk"
+    # Small-coarse ("proposal") field: with hierarchical sampling on, the
+    # coarse field's ONLY load-bearing output is the importance-sampling
+    # weights — paying full 8x256 FLOPs there is a reference-shaped cost,
+    # not a requirement (cf. mip-NeRF 360's proposal MLPs). 0 = coarse
+    # mirrors the fine field (reference parity). When set, the coarse
+    # NeRFMLP uses this depth/width (skips beyond the depth are dropped,
+    # heads scale with width); it still renders rgb/semantics for its own
+    # aux losses. Ignored when n_importance == 0.
+    coarse_trunk_depth: int = 0
+    coarse_trunk_width: int = 0
 
 
 @dataclass

@@ -24,6 +24,24 @@ from panopticnerf_tpu.config import ModelConfig
 from panopticnerf_tpu.ops.encoding import positional_encoding
 
 
+def coarse_field_cfg(cfg: ModelConfig, has_fine: bool) -> ModelConfig:
+    """Effective config of the COARSE field: identical to `cfg` unless the
+    small-coarse override (model.coarse_trunk_depth/width) is set and a fine
+    field exists — then the coarse trunk shrinks to the proposal size and
+    skip indices past the new depth are dropped."""
+    import dataclasses
+
+    if not has_fine or not (cfg.coarse_trunk_depth or cfg.coarse_trunk_width):
+        return cfg
+    depth = cfg.coarse_trunk_depth or cfg.trunk_depth
+    width = cfg.coarse_trunk_width or cfg.trunk_width
+    return dataclasses.replace(
+        cfg, trunk_depth=depth, trunk_width=width,
+        skips=tuple(s for s in cfg.skips if s < depth - 1),
+        color_width=min(cfg.color_width, width),
+    )
+
+
 class NeRFMLP(nn.Module):
     """One radiance+semantics field (used for both coarse and fine)."""
 
@@ -77,7 +95,7 @@ class PanopticNeRF(nn.Module):
     has_fine: bool = False
 
     def setup(self):
-        self.coarse = NeRFMLP(self.cfg)
+        self.coarse = NeRFMLP(coarse_field_cfg(self.cfg, self.has_fine))
         if self.has_fine:
             self.fine = NeRFMLP(self.cfg)
 

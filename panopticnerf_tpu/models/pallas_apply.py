@@ -52,6 +52,15 @@ def pallas_field_apply(
                  cost ~30% extra FLOPs. Kept for kernel R&D.
     """
     p = _field_params(params, level, has_fine)
+    # Small-coarse override (model.coarse_trunk_depth/width): the coarse
+    # field may be a proposal-sized MLP. The fused kernels are tuned for
+    # the flagship 8x256 shape; a tiny trunk gains nothing from VMEM
+    # pinning, so it runs as a plain XLA chain with the same fused heads.
+    from panopticnerf_tpu.models.nerf import coarse_field_cfg
+
+    eff = coarse_field_cfg(cfg, has_fine) if level == 0 else cfg
+    small_coarse = eff is not cfg
+    cfg = eff
     dtype = jnp.dtype(cfg.compute_dtype)
     shape = pts.shape[:-1]
     x = pts.reshape(-1, 3)
@@ -69,15 +78,26 @@ def pallas_field_apply(
     # set is shifted by one.
     kernel_skips = tuple(s + 1 for s in cfg.skips if s + 1 < cfg.trunk_depth)
 
-    if mode == "trunk":
-        from panopticnerf_tpu.ops.pallas_mlp_train import fused_trunk_train
+    if mode == "trunk" or small_coarse:
+        if small_coarse:
+            # XLA trunk chain, flax layer convention (skip concat AFTER
+            # layer s) — matches NeRFMLP numerics exactly.
+            h = x_enc
+            for i in range(cfg.trunk_depth):
+                h = jnp.maximum(
+                    h @ p[f"trunk_{i}"]["kernel"].astype(dtype)
+                    + p[f"trunk_{i}"]["bias"].astype(dtype), 0.0)
+                if i in cfg.skips:
+                    h = jnp.concatenate([h, x_enc], axis=-1)
+        else:
+            from panopticnerf_tpu.ops.pallas_mlp_train import fused_trunk_train
 
-        weights = [p[f"trunk_{i}"]["kernel"] for i in range(cfg.trunk_depth)]
-        biases = [p[f"trunk_{i}"]["bias"] for i in range(cfg.trunk_depth)]
-        # tile/chunk picked by interleaved A/B on v5e (tools/ab_chunk.py):
-        # 1024-pt tiles in 32,768-pt lax.map segments; see fused_trunk_train.
-        h = fused_trunk_train(x_enc, weights, biases, kernel_skips,
-                              tile=max(tile, 1024), interpret=interpret).astype(dtype)
+            weights = [p[f"trunk_{i}"]["kernel"] for i in range(cfg.trunk_depth)]
+            biases = [p[f"trunk_{i}"]["bias"] for i in range(cfg.trunk_depth)]
+            # tile/chunk picked by interleaved A/B on v5e (tools/ab_chunk.py):
+            # 1024-pt tiles in 32,768-pt lax.map segments; see fused_trunk_train.
+            h = fused_trunk_train(x_enc, weights, biases, kernel_skips,
+                                  tile=max(tile, 1024), interpret=interpret).astype(dtype)
         dense = lambda name, v: (v @ p[name]["kernel"].astype(dtype)
                                  + p[name]["bias"].astype(dtype))
         # The three heads that consume h run as ONE concatenated matmul —

@@ -146,3 +146,45 @@ def test_pure_field_kernel_matches_flax():
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_small_coarse_field_matches_flax_and_grads():
+    """model.coarse_trunk_depth/width: the coarse field is proposal-sized.
+    The adapter must bypass the fused kernel for it and match the flax
+    model's values AND gradients on both levels."""
+    cfg = Config()
+    cfg.model.trunk_depth = 4
+    cfg.model.trunk_width = 64
+    cfg.model.color_width = 32
+    cfg.model.num_classes = 7
+    cfg.model.compute_dtype = "float32"
+    cfg.model.skips = (1,)
+    cfg.model.coarse_trunk_depth = 2
+    cfg.model.coarse_trunk_width = 32
+    cfg.render.n_importance = 8
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    pc = params["params"]["coarse"]
+    assert pc["trunk_0"]["kernel"].shape[1] == 32
+    assert "trunk_2" not in pc          # proposal depth 2
+    assert params["params"]["fine"]["trunk_3"]["kernel"].shape[1] == 64
+
+    pts = jax.random.normal(jax.random.key(1), (10, 6, 3)) * 0.3
+    dirs = jax.random.normal(jax.random.key(2), (10, 1, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    adapter = PallasApplyAdapter(cfg.model, has_fine=True, interpret=True)
+
+    def scal(apply, p, level):
+        s, r, m = apply(p, pts, dirs, level=level)
+        return jnp.sum(s) + jnp.sum(r) + jnp.sum(m)
+
+    for level in (0, 1):
+        ref = model.apply(params, pts, dirs, level=level)
+        pal = adapter.apply(params, pts, dirs, level=level)
+        for a, b in zip(ref, pal):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+        g_ref = jax.grad(lambda p: scal(model.apply, p, level))(params)
+        g_pal = jax.grad(lambda p: scal(adapter.apply, p, level))(params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-3), g_ref, g_pal)
