@@ -251,7 +251,7 @@ def main():
     model = make_network(cfg)
     state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
 
-    def time_fused(cfg, state, iters):
+    def time_fused(cfg, state, iters, model=model):
         step = make_train_step(cfg, model, donate=False)
         view_ids = jnp.arange(int(ds.images.shape[0]))
         key = jax.random.key(0)
@@ -272,6 +272,22 @@ def main():
         cfg, render=dataclasses.replace(cfg.render, n_importance=0)
     )
     fused_coarse_rps, _ = time_fused(cfg_coarse, state, iters)
+
+    # ---------- proposal-style small-coarse variant (secondary metric) -------
+    # model.coarse_trunk_depth/width=4x128 shrinks only the coarse pass (the
+    # fine 8x256 field is unchanged). Quality parity on the 10k-step fixture
+    # run (PSNR 30.24 / mIoU 0.980 / PQ 0.940 vs full-coarse 30.48/0.982/
+    # 0.942) at +22% step rate — BASELINE.md round-3 small-coarse study.
+    # The HEADLINE stays the reference-parity shape (full-size coarse).
+    pd, pw = (1, 16) if TINY else (4, 128)
+    cfg_prop = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, coarse_trunk_depth=pd, coarse_trunk_width=pw))
+    model_prop = make_network(cfg_prop)
+    state_prop = make_train_state(
+        cfg_prop, model_prop, init_params(model_prop, jax.random.key(0)))
+    fused_prop_rps, _ = time_fused(cfg_prop, state_prop, iters,
+                                   model=model_prop)
 
     # ---------- full-image render FPS (the second headline metric) ----------
     from panopticnerf_tpu.data.dataset import view_primitives, view_rays
@@ -351,6 +367,7 @@ def main():
         "rays_per_batch": cfg.data.n_rays,
         "samples_per_ray": [cfg.render.n_samples, cfg.render.n_importance],
         "fused_coarse_only_rays_per_sec": round(fused_coarse_rps, 1),
+        "fused_proposal_coarse_rays_per_sec": round(fused_prop_rps, 1),
         "render_fps": round(render_fps, 2),
         "render_fps_eval32": round(render_fps_e32, 2),
         "render_image_hw": [h, w],
