@@ -124,7 +124,10 @@ def evaluate_views(cfg: Config, model, params, ds, view_ids, render=None) -> dic
         gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1) if ds.gt_inst is not None else None
         valid = (np.asarray(ds.valid_mask[view]).reshape(-1)
                  if ds.valid_mask is not None else None)
-        ev.evaluate(out, gt_rgb, gt_sem, gt_inst, valid=valid)
+        gt_depth = (np.asarray(ds.depth[view]).reshape(-1)
+                    if ds.depth is not None else None)
+        ev.evaluate(out, gt_rgb, gt_sem, gt_inst, valid=valid,
+                    gt_depth=gt_depth, image_hw=ds.images.shape[1:3])
     return ev.summarize()
 
 
@@ -339,7 +342,10 @@ def run_evaluate(cfg: Config, log=print) -> dict:
         gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1) if ds.gt_inst is not None else None
         valid = (np.asarray(ds.valid_mask[view]).reshape(-1)
                  if ds.valid_mask is not None else None)
-        ev.evaluate(out, gt_rgb, gt_sem, gt_inst, valid=valid)
+        gt_depth = (np.asarray(ds.depth[view]).reshape(-1)
+                    if ds.depth is not None and view in psnr_views else None)
+        ev.evaluate(out, gt_rgb, gt_sem, gt_inst, valid=valid,
+                    gt_depth=gt_depth, image_hw=ds.images.shape[1:3])
     res = ev.summarize()
     names = None
     if cfg.model.num_classes == 19:

@@ -26,6 +26,9 @@ class Evaluator:
 
     def reset(self):
         self.psnrs = []
+        self.ssims = []
+        self.depth_sums = {"n": 0, "se_sum": 0.0, "absrel_sum": 0.0,
+                           "delta125": 0}
         self.cm = np.zeros((self.num_classes, self.num_classes), np.int64)
         self.pq_stats = {
             "iou_sum": np.zeros(self.num_classes),
@@ -41,12 +44,25 @@ class Evaluator:
         gt_sem: Optional[np.ndarray] = None,     # (H*W,) int
         gt_inst: Optional[np.ndarray] = None,    # (H*W,) int
         valid: Optional[np.ndarray] = None,      # (H*W,) bool (fisheye circle)
+        gt_depth: Optional[np.ndarray] = None,   # (H*W,) ray-distance m; <=0 hole
+        image_hw: Optional[tuple] = None,        # (H, W) — enables SSIM
     ):
         """Accumulate one rendered frame. Returns this frame's fused maps."""
         if gt_rgb is not None:
             mask = None if valid is None else np.broadcast_to(
                 np.asarray(valid, bool)[:, None], gt_rgb.shape)
             self.psnrs.append(metrics.psnr(np.asarray(out.rgb), gt_rgb, mask))
+            if image_hw is not None:
+                h, w = image_hw
+                m2d = (None if valid is None
+                       else np.asarray(valid, bool).reshape(h, w))
+                self.ssims.append(metrics.ssim(
+                    np.asarray(out.rgb).reshape(h, w, -1),
+                    np.asarray(gt_rgb).reshape(h, w, -1), m2d))
+        if gt_depth is not None and out.depth is not None:
+            s = metrics.depth_error_sums(np.asarray(out.depth), gt_depth, valid)
+            for k in self.depth_sums:
+                self.depth_sums[k] += s[k]
         if valid is not None and gt_sem is not None:
             gt_sem = np.where(np.asarray(valid, bool), gt_sem, self.ignore)
 
@@ -75,6 +91,10 @@ class Evaluator:
         result = {}
         if self.psnrs:
             result["psnr"] = float(np.mean(self.psnrs))
+        if self.ssims:
+            result["ssim"] = float(np.nanmean(self.ssims))
+        if self.depth_sums["n"] > 0:
+            result.update(metrics.depth_from_sums(self.depth_sums))
         if self.cm.sum() > 0:
             iou, miou = metrics.iou_from_confusion(self.cm)
             result["iou_per_class"] = iou
@@ -106,5 +126,12 @@ class Evaluator:
             lines.append(f"{'mean':<22}{res['miou']:>8.3f}"
                          f"{res.get('pq', float('nan')):>8.3f}")
         if "psnr" in res:
-            lines.append(f"PSNR: {res['psnr']:.2f} dB")
+            line = f"PSNR: {res['psnr']:.2f} dB"
+            if "ssim" in res:
+                line += f"  SSIM: {res['ssim']:.4f}"
+            lines.append(line)
+        if "depth_rmse" in res:
+            lines.append(f"depth: rmse {res['depth_rmse']:.3f} m  "
+                         f"abs-rel {res['depth_abs_rel']:.4f}  "
+                         f"d<1.25 {res['depth_delta125']:.4f}")
         return "\n".join(lines)

@@ -168,3 +168,86 @@ def pq_from_stats(stats: dict):
     pq = sq * rq
     mean_pq = float(pq[present].mean()) if present.any() else float("nan")
     return {"pq": pq, "sq": sq, "rq": rq, "present": present, "mean_pq": mean_pq}
+
+
+# ---------------------------------------------------------------- SSIM / depth
+# The reference papers report SSIM (and LPIPS) alongside PSNR for appearance,
+# and standard depth errors vs stereo/lidar for geometry ([pn360] T-PAMI'25
+# experiments; [pn] lib/evaluators/panopticnerf.py is unverifiable here —
+# SURVEY.md §0). SSIM follows Wang et al. 2004 exactly: 11x11 Gaussian
+# window (sigma 1.5), C1=(0.01L)^2, C2=(0.03L)^2, 'valid' windows only.
+# LPIPS needs pretrained conv weights (download-gated) and is omitted; the
+# hook point is Evaluator.evaluate.
+
+def _ssim_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return g / g.sum()
+
+
+def ssim(pred: np.ndarray, gt: np.ndarray,
+         mask: Optional[np.ndarray] = None, data_range: float = 1.0) -> float:
+    """Mean SSIM over valid 11x11 windows (channel-averaged for RGB).
+
+    pred/gt: (H, W) or (H, W, C) float arrays; mask: optional (H, W) bool —
+    a window counts iff its center pixel is valid (fisheye circle crop).
+    """
+    from scipy.ndimage import correlate1d
+
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    if pred.ndim == 2:
+        pred, gt = pred[..., None], gt[..., None]
+    win = _ssim_window()
+    half = len(win) // 2
+
+    def filt(img):  # separable 11x11 gaussian over H, W per channel
+        out = correlate1d(img, win, axis=0, mode="constant")
+        return correlate1d(out, win, axis=1, mode="constant")
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_p, mu_g = filt(pred), filt(gt)
+    var_p = filt(pred * pred) - mu_p ** 2
+    var_g = filt(gt * gt) - mu_g ** 2
+    cov = filt(pred * gt) - mu_p * mu_g
+    smap = ((2 * mu_p * mu_g + c1) * (2 * cov + c2)
+            / ((mu_p ** 2 + mu_g ** 2 + c1) * (var_p + var_g + c2)))
+    # 'valid' windows only (the constant-pad ring is not a real window)
+    smap = smap[half:-half, half:-half]
+    if mask is not None:
+        m = np.asarray(mask, bool)[half:-half, half:-half]
+        if not m.any():
+            return float("nan")
+        return float(smap[m].mean())
+    return float(smap.mean())
+
+
+def depth_error_sums(pred: np.ndarray, gt: np.ndarray,
+                     valid: Optional[np.ndarray] = None) -> dict:
+    """Accumulable sums for standard depth metrics (Eigen protocol):
+    RMSE, abs-rel, and delta<1.25 accuracy. gt<=0 marks missing depth
+    (SGM holes); both pred and gt are ray-distance meters (the repo-wide
+    convention — docs/MIGRATION.md 'Depth convention')."""
+    pred = np.asarray(pred, np.float64).reshape(-1)
+    gt = np.asarray(gt, np.float64).reshape(-1)
+    m = gt > 0
+    if valid is not None:
+        m &= np.asarray(valid, bool).reshape(-1)
+    p, g = pred[m], gt[m]
+    ratio = np.maximum(p / np.maximum(g, 1e-9), g / np.maximum(p, 1e-9))
+    return {
+        "n": int(m.sum()),
+        "se_sum": float(((p - g) ** 2).sum()),
+        "absrel_sum": float((np.abs(p - g) / np.maximum(g, 1e-9)).sum()),
+        "delta125": int((ratio < 1.25).sum()),
+    }
+
+
+def depth_from_sums(s: dict) -> dict:
+    n = max(s["n"], 1)
+    return {
+        "depth_rmse": float(np.sqrt(s["se_sum"] / n)),
+        "depth_abs_rel": float(s["absrel_sum"] / n),
+        "depth_delta125": float(s["delta125"] / n),
+    }

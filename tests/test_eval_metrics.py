@@ -1,6 +1,7 @@
 import numpy as np
 import pytest
 
+from panopticnerf_tpu.eval import metrics
 from panopticnerf_tpu.eval import (
     confusion_matrix,
     iou_from_confusion,
@@ -148,3 +149,75 @@ def test_pq_void_overlap_excluded_from_union():
     assert st["tp"][1] == 1
     assert st["iou_sum"][1] == pytest.approx(0.75)
     assert st["fn"][1] == 0 and st["fp"][1] == 0
+
+
+# ------------------------------------------------------------- SSIM / depth
+def test_ssim_identity():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (24, 32, 3))
+    assert metrics.ssim(img, img) == pytest.approx(1.0)
+
+
+def test_ssim_constant_images_analytic():
+    # Constant images have zero variance/covariance everywhere, so SSIM
+    # reduces to the luminance term (2ab+C1)/(a^2+b^2+C1) exactly.
+    a, b = 0.3, 0.6
+    pred = np.full((20, 20), a)
+    gt = np.full((20, 20), b)
+    c1 = 0.01 ** 2
+    expect = (2 * a * b + c1) / (a * a + b * b + c1)
+    assert metrics.ssim(pred, gt) == pytest.approx(expect, rel=1e-9)
+
+
+def test_ssim_monotone_in_noise():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0.2, 0.8, (32, 48, 3))
+    s1 = metrics.ssim(img, np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1))
+    s2 = metrics.ssim(img, np.clip(img + rng.normal(0, 0.15, img.shape), 0, 1))
+    assert 1.0 > s1 > s2
+
+
+def test_ssim_mask_excludes_corrupted_region():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (24, 40))
+    bad = img.copy()
+    bad[:, 25:] = rng.uniform(0, 1, (24, 15))  # corrupt right side
+    mask = np.zeros((24, 40), bool)
+    mask[:, :18] = True  # valid centers >= 7 px from the corruption (win 11)
+    assert metrics.ssim(img, bad, mask) == pytest.approx(1.0)
+    assert metrics.ssim(img, bad) < 0.99
+
+
+def test_depth_error_sums_hand_computed():
+    pred = np.array([1.0, 2.0, 4.0, 9.0])
+    gt = np.array([1.0, 2.0, 2.0, 0.0])  # last px: SGM hole (gt<=0)
+    s = metrics.depth_error_sums(pred, gt)
+    assert s["n"] == 3
+    assert s["se_sum"] == pytest.approx(4.0)       # (4-2)^2
+    assert s["absrel_sum"] == pytest.approx(1.0)   # |4-2|/2
+    assert s["delta125"] == 2                      # ratios 1, 1, 2
+    d = metrics.depth_from_sums(s)
+    assert d["depth_rmse"] == pytest.approx(np.sqrt(4.0 / 3.0))
+    assert d["depth_abs_rel"] == pytest.approx(1.0 / 3.0)
+    assert d["depth_delta125"] == pytest.approx(2.0 / 3.0)
+
+
+def test_evaluator_reports_ssim_and_depth():
+    from types import SimpleNamespace
+
+    from panopticnerf_tpu.eval.evaluator import Evaluator
+
+    h, w = 16, 20
+    rng = np.random.default_rng(3)
+    rgb = rng.uniform(0, 1, (h * w, 3))
+    depth = rng.uniform(1, 10, h * w)
+    out = SimpleNamespace(rgb=rgb, depth=depth * 1.1, sem_logits=None,
+                          sem_fixed=None, inst_mass=None, inst_ids=None,
+                          inst_sem=None)
+    ev = Evaluator(num_classes=4, things=np.zeros(4, bool))
+    ev.evaluate(out, gt_rgb=rgb, gt_depth=depth, image_hw=(h, w))
+    res = ev.summarize()
+    assert res["ssim"] == pytest.approx(1.0)
+    assert res["depth_abs_rel"] == pytest.approx(0.1, rel=1e-6)
+    assert res["depth_delta125"] == 1.0
+    assert "depth_rmse" in res and res["depth_rmse"] > 0
