@@ -235,3 +235,30 @@ def test_trajectory_poses_filter_fisheye():
         assert near in persp  # nearest view is always a pinhole view
         np.testing.assert_allclose(c2w[:, :3] @ c2w[:, :3].T, np.eye(3),
                                    atol=1e-5)
+
+
+def test_warm_start_across_coarse_topology(tmp_path):
+    """Warm start from a full-coarse checkpoint into a proposal-coarse model
+    (model.coarse_trunk_depth/width): the fine field merges, the resized
+    coarse trunk keeps fresh init (shape-mismatch fallback), and training
+    proceeds — so a staged chain may switch coarse sizes mid-pipeline."""
+    import warnings
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "fullcoarse"
+    cfg.render.n_importance = 8
+    run_train(cfg, max_steps=5)
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.exp_name = "propcoarse"
+    cfg2.render.n_importance = 8
+    cfg2.model.coarse_trunk_depth = 1
+    cfg2.model.coarse_trunk_width = 8
+    cfg2.train.init_from = cfg.trained_model_dir
+    logs = []
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        run_train(cfg2, max_steps=3, log=logs.append)
+    assert any("warm-started" in l for l in logs)
+    merged = [w for w in ws if "merged" in str(w.message)]
+    assert merged, [str(w.message) for w in ws]  # partial, not full, merge
