@@ -54,3 +54,42 @@ def test_360_stage_derivation():
     assert cfg.train.pretrain == ""
     assert cfg.train.init_from == "pan/ckpt"
     assert any("gate dropped" in n for n in notes)
+
+
+def test_proposal_chain_shape_compatible():
+    """--proposal D,W: the coarse-only stage trains its single field at the
+    proposal size, so its params merge into the later stages' coarse trunk
+    (same names AND shapes — coarse_field_cfg on both sides)."""
+    import jax
+
+    from panopticnerf_tpu.models import init_params, make_network
+
+    d, w = 1, 8
+    c1, n1 = run_staged.stage_cfg("kitti360_rgb_coarse", "", 0, [], set(),
+                                  proposal=(d, w))
+    assert c1.model.trunk_depth == d and c1.model.trunk_width == w
+    assert all(s < d - 1 for s in c1.model.skips)
+    assert any("proposal" in n for n in n1)
+
+    c4, n4 = run_staged.stage_cfg("kitti360_panoptic", "prev/ckpt", 0, [],
+                                  set(), proposal=(d, w))
+    assert c4.model.coarse_trunk_depth == d
+    assert c4.model.coarse_trunk_width == w
+
+    # shrink everything else so param init is cheap on CPU
+    for c in (c1, c4):
+        c.model.num_classes = 4
+        c.model.xyz_freqs = 2
+        c.model.dir_freqs = 2
+    c4.model.trunk_depth, c4.model.trunk_width = 2, 16  # tiny fine field
+    p1 = init_params(make_network(c1), jax.random.key(0))["params"]["coarse"]
+    p4 = init_params(make_network(c4), jax.random.key(0))["params"]["coarse"]
+    fl = jax.tree_util.tree_flatten_with_path
+    d1 = {jax.tree_util.keystr(k): v.shape for k, v in fl(p1)[0]}
+    d4 = {jax.tree_util.keystr(k): v.shape for k, v in fl(p4)[0]}
+    # every stage-1 leaf merges (same name, same shape) ...
+    assert set(d1) <= set(d4)
+    assert all(d1[k] == d4[k] for k in d1)
+    # ... and the only fresh-init extras are the semantic heads (stage 1
+    # trains geometry+rgb only), exactly as in the full-size chain.
+    assert all("sem" in k for k in set(d4) - set(d1))

@@ -41,7 +41,7 @@ STAGES = [
 STAGE_360 = "kitti360_360"
 
 
-def stage_cfg(name, prev_ckpt, steps, common, user_keys):
+def stage_cfg(name, prev_ckpt, steps, common, user_keys, proposal=None):
     """Derive one stage's config. Pure (no training) so tests can assert the
     precedence rules: presets < stage defaults < explicit user opts.
 
@@ -52,6 +52,30 @@ def stage_cfg(name, prev_ckpt, steps, common, user_keys):
 
     notes = []
     cfg = load_config(os.path.join(REPO, "configs", f"{name}.yaml"))
+    if proposal:
+        # Proposal-style small coarse across the whole chain. Stages with a
+        # fine field just set the override; the coarse-ONLY stage trains its
+        # single field at the proposal size (same param names/shapes as the
+        # later stages' coarse trunk — models.nerf.coarse_field_cfg — so the
+        # geometry warm start merges instead of hitting shape mismatches).
+        import dataclasses
+
+        from panopticnerf_tpu.models.nerf import coarse_field_cfg
+
+        d, w = proposal
+        if cfg.render.n_importance > 0:
+            cfg.model.coarse_trunk_depth = d
+            cfg.model.coarse_trunk_width = w
+            notes.append(f"proposal coarse {d}x{w}")
+        else:
+            eff = coarse_field_cfg(
+                dataclasses.replace(cfg.model, coarse_trunk_depth=d,
+                                    coarse_trunk_width=w), has_fine=True)
+            cfg.model.trunk_depth = eff.trunk_depth
+            cfg.model.trunk_width = eff.trunk_width
+            cfg.model.skips = eff.skips
+            cfg.model.color_width = eff.color_width
+            notes.append(f"coarse-only stage trains the proposal field {d}x{w}")
     # Stage defaults (fresh run, warm-chained) go BEFORE the merge so
     # explicit user opts (train.resume / train.init_from / pretrain) win.
     cfg.train.resume = False
@@ -93,6 +117,11 @@ def main() -> int:
                         "perspective+fisheye batches) after the panoptic "
                         "stage; with --synthesize-tree the tree also gets "
                         "MEI image_02 streams")
+    p.add_argument("--proposal", default=None, metavar="D,W",
+                   help="proposal-style small coarse for the whole chain "
+                        "(model.coarse_trunk_depth/width=D,W; the coarse-only "
+                        "first stage trains its single field at D,W so the "
+                        "geometry warm start stays shape-compatible)")
     # parse_known_args: KEY VALUE overrides may be interleaved with flags.
     args, opts = p.parse_known_args()
     for tok in opts:
@@ -130,8 +159,11 @@ def main() -> int:
         stages = stages[: args.stages]
     prev_ckpt = ""
     results = {}
+    proposal = (tuple(int(x) for x in args.proposal.split(","))
+                if args.proposal else None)
     for name in stages:
-        cfg, notes = stage_cfg(name, prev_ckpt, args.steps, common, user_keys)
+        cfg, notes = stage_cfg(name, prev_ckpt, args.steps, common, user_keys,
+                               proposal=proposal)
         print(f"=== stage {name} "
               f"({'warm from ' + prev_ckpt if prev_ckpt else 'from scratch'}) ===",
               flush=True)
