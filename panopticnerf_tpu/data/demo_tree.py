@@ -197,15 +197,10 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
     if fisheye:
         from panopticnerf_tpu.data.synthetic import _mei_unproject_np
 
+        from panopticnerf_tpu.data.kitti360 import fisheye_valid_mask
+
         fe_dirs = _mei_unproject_np(uv, fe_fp)
-        xd = (uv[:, 0] - fe_fp[2]) / fe_fp[0]
-        yd = (uv[:, 1] - fe_fp[3]) / fe_fp[1]
-        x_u, y_u = xd.copy(), yd.copy()
-        for _ in range(10):
-            rr = x_u * x_u + y_u * y_u
-            s_ = 1.0 + fe_fp[5] * rr + fe_fp[6] * rr * rr
-            x_u, y_u = xd / s_, yd / s_
-        fe_valid = (1.0 + (1.0 - fe_fp[4] ** 2) * (x_u ** 2 + y_u ** 2)) > 1e-4
+        fe_valid = fisheye_valid_mask(fe_fp, (h, w)).reshape(-1)
 
     for cam in ("image_00", "image_01"):
         os.makedirs(f"{root}/data_2d_raw/{SEQ}/{cam}/data_rect", exist_ok=True)

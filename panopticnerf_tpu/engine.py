@@ -191,12 +191,18 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
         if os.path.exists(legacy_meta):
             best_meta_path = legacy_meta
     best_val = -np.inf
+    best_kind = None  # which metric best_val was computed with (sidecar)
     if cfg.train.resume and os.path.exists(best_meta_path):
         import json
 
         with open(best_meta_path) as f:
-            best_val = float(json.load(f)["value"])
-        log(f"best-metric state restored: {best_val:.4f}")
+            meta = json.load(f)
+        best_val = float(meta["value"])
+        # pre-round-3 sidecars recorded no metric name; they were written
+        # by mIoU-only (or PSNR-only) selection, never the (mIoU+PQ)/2 mean
+        best_kind = meta.get("metric", "legacy")
+        log(f"best-metric state restored: {best_val:.4f}"
+            + (f" ({best_kind})" if best_kind else ""))
 
     # Preemption-safe save (SURVEY.md §5.3): TPU preemptions deliver SIGTERM;
     # flag it and checkpoint at the next step boundary before exiting.
@@ -269,17 +275,33 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
                 # semantics are, PSNR otherwise. Restore with
                 # `train.eval_step -1`.
                 if "miou" in res and "pq" in res:
-                    val = 0.5 * (float(res["miou"]) + float(res["pq"]))
+                    val, kind = 0.5 * (float(res["miou"]) + float(res["pq"])), "miou_pq_mean"
+                elif "miou" in res:
+                    val, kind = res["miou"], "miou"
                 else:
-                    val = res.get("miou", res.get("psnr"))
+                    val, kind = res.get("psnr"), "psnr"
+                if best_kind == "legacy" and kind != "miou_pq_mean":
+                    # unrecorded pre-round-3 metric: single-metric values
+                    # stay comparable, so adopt the current kind. Against
+                    # the (mIoU+PQ)/2 mean an old mIoU-only value would win
+                    # forever (PQ <= mIoU) — that case falls through to the
+                    # mismatch reset below.
+                    best_kind = kind
+                if best_kind is not None and kind != best_kind:
+                    log(f"best-metric sidecar used {best_kind!r}, this run "
+                        f"selects on {kind!r} — resetting best state")
+                    best_val = -np.inf
+                best_kind = kind
                 if tc.save_best and val is not None and float(val) > best_val:
                     best_val = float(val)
+                    best_kind = kind
                     save_model(state, cfg.best_model_dir, step + 1,
                                max_to_keep=1)
                     import json
 
                     with open(best_meta_path, "w") as f:
-                        json.dump({"value": best_val, "step": step + 1}, f)
+                        json.dump({"value": best_val, "step": step + 1,
+                                   "metric": kind}, f)
                     log(f"new best eval metric {best_val:.4f} -> saved best@{step + 1}")
         save_model(state, ckpt_dir, total_steps)
     finally:

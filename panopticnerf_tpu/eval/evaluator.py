@@ -105,6 +105,13 @@ class Evaluator:
             result["pq"] = pq["mean_pq"]
             result["sq"] = pq["sq"]
             result["rq"] = pq["rq"]
+            # panopticapi-style category split: PQ^Th (instance classes)
+            # and PQ^St (stuff), averaged over classes present in GT|pred
+            pres = pq["present"]
+            for name, sel in (("things", self.things), ("stuff", ~self.things)):
+                m = pres & sel[: len(pres)]
+                if m.any():
+                    result[f"pq_{name}"] = float(pq["pq"][m].mean())
         return result
 
     def summary_table(self, class_names: list[str] | None = None) -> str:
@@ -125,6 +132,10 @@ class Evaluator:
                 lines.append(f"{name:<22}{iou_s:>8}{pq_s:>8}")
             lines.append(f"{'mean':<22}{res['miou']:>8.3f}"
                          f"{res.get('pq', float('nan')):>8.3f}")
+        if "pq_things" in res or "pq_stuff" in res:
+            lines.append(
+                f"PQ_th: {res.get('pq_things', float('nan')):.3f}  "
+                f"PQ_st: {res.get('pq_stuff', float('nan')):.3f}")
         if "psnr" in res:
             line = f"PSNR: {res['psnr']:.2f} dB"
             if "ssim" in res:

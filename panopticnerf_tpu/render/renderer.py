@@ -159,6 +159,18 @@ def eval_render_cfg(cfg: Config) -> Config:
     rc = cfg.render
     ns = rc.eval_n_samples if rc.eval_n_samples > 0 else rc.n_samples
     ni = rc.eval_n_importance if rc.eval_n_importance >= 0 else rc.n_importance
+    mc = cfg.model
+    if (ni <= 0 < rc.n_importance
+            and (mc.coarse_trunk_depth or mc.coarse_trunk_width)):
+        # With a proposal-sized coarse field (model.coarse_trunk_depth/
+        # width), a coarse-only eval would render from the deliberately
+        # low-capacity proposal MLP — a silent quality collapse. Refuse.
+        raise ValueError(
+            "render.eval_n_importance 0 renders the COARSE field only, but "
+            "model.coarse_trunk_depth/width configure a small proposal "
+            "coarse whose only trained role is importance weights. Use "
+            "eval_n_importance > 0 (fine-field eval) or unset the proposal "
+            "coarse size.")
     if (ns, ni) == (rc.n_samples, rc.n_importance):
         return cfg
     return dataclasses.replace(

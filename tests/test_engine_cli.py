@@ -148,14 +148,28 @@ def test_best_metric_survives_resume(tmp_path):
     meta = cfg.best_metric_path
     assert os.path.exists(meta)
 
-    # Pretend an earlier (pre-preemption) eval was much better.
-    json.dump({"value": 1e9, "step": 10}, open(meta, "w"))
+    # Pretend an earlier (pre-preemption) eval was much better. The sidecar
+    # records which metric the value was computed with; same-kind values
+    # stay authoritative across resume.
+    kind = json.load(open(meta))["metric"]
+    json.dump({"value": 1e9, "step": 10, "metric": kind}, open(meta, "w"))
     cfg.train.resume = True
     logs2 = []
     run_train(cfg, max_steps=20, log=logs2.append)
     assert any("best-metric state restored" in l for l in logs2)
     assert not any("saved best@" in l for l in logs2)  # nothing beat 1e9
     assert json.load(open(meta))["value"] == 1e9
+
+    # A legacy sidecar (no metric name, pre-round-3) was written by
+    # single-metric selection — against (mIoU+PQ)/2 it is incomparable
+    # (an mIoU-only 'best' would win forever), so selection starts afresh.
+    json.dump({"value": 1e9, "step": 10}, open(meta, "w"))
+    logs3 = []
+    run_train(cfg, max_steps=30, log=logs3.append)
+    assert any("resetting best state" in l for l in logs3)
+    assert any("saved best@" in l for l in logs3)
+    assert json.load(open(meta))["metric"] == kind
+    assert json.load(open(meta))["value"] < 1e9
 
 
 def test_misspelled_flag_rejected():

@@ -221,3 +221,26 @@ def test_evaluator_reports_ssim_and_depth():
     assert res["depth_abs_rel"] == pytest.approx(0.1, rel=1e-6)
     assert res["depth_delta125"] == 1.0
     assert "depth_rmse" in res and res["depth_rmse"] > 0
+
+
+def test_pq_things_stuff_split():
+    """summarize() reports the panopticapi category split: PQ^Th over
+    instance classes, PQ^St over stuff, each averaged over present
+    classes only."""
+    from panopticnerf_tpu.eval.evaluator import Evaluator
+
+    # classes: 0 stuff (perfect), 1 thing (IoU 3/4 TP), 2 stuff (1px FP)
+    gt_sem = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    gt_inst = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    pred_sem = np.array([0, 0, 0, 0, 1, 1, 1, 2])
+    pred_inst = np.array([0, 0, 0, 0, 1, 1, 1, 0])
+    things = np.array([False, True, False, False])
+    st = panoptic_quality(pred_sem, pred_inst, gt_sem, gt_inst, things, 4)
+
+    ev = Evaluator(num_classes=4, things=things)
+    ev.pq_stats = st
+    res = ev.summarize()
+    assert res["pq_things"] == pytest.approx(0.75)
+    assert res["pq_stuff"] == pytest.approx(0.5)  # mean(1.0 perfect, 0.0 FP)
+    assert res["pq"] == pytest.approx((1.0 + 0.75 + 0.0) / 3)
+    assert "PQ_th: 0.750" in ev.summary_table()

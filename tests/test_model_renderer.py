@@ -180,3 +180,31 @@ def test_eval_sample_count_override():
     ))(params)
     assert out.rgb.shape == (o.shape[0], 3)
     assert bool(jnp.isfinite(out.rgb).all())
+
+
+def test_eval_coarse_only_refused_with_proposal_coarse():
+    """render.eval_n_importance 0 would render from the proposal-sized
+    coarse field (model.coarse_trunk_depth/width) whose only trained role
+    is importance weights — eval_render_cfg must refuse, not silently
+    collapse quality."""
+    import dataclasses
+
+    import pytest
+
+    from panopticnerf_tpu.render.renderer import eval_render_cfg
+
+    cfg = small_cfg(render__n_importance=8, model__coarse_trunk_depth=1,
+                    model__coarse_trunk_width=16)
+    bad = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, eval_n_importance=0))
+    with pytest.raises(ValueError, match="proposal"):
+        eval_render_cfg(bad)
+    # fine-field eval with fewer importance samples stays allowed
+    ok = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, eval_n_importance=4))
+    assert eval_render_cfg(ok).render.n_importance == 4
+    # coarse-only eval of a full-size coarse field stays allowed
+    full = small_cfg(render__n_importance=8)
+    full2 = dataclasses.replace(
+        full, render=dataclasses.replace(full.render, eval_n_importance=0))
+    assert eval_render_cfg(full2).render.n_importance == 0

@@ -171,3 +171,17 @@ def test_check_data_depth_units(tmp_path):
          "--frame_start", "100", "--frame_num", "3"],
         capture_output=True, text=True)
     assert out.returncode == 1 and "depth/units" in out.stdout
+
+    # one unrepresentative frame (sparse far-range points) must not flip
+    # the verdict: the heuristic aggregates the median over ALL frames
+    for fr in frames:
+        os.remove(os.path.join(sgm, f"{fr:010d}.png"))
+    noisy = np.zeros((24, 32), np.float32)
+    noisy[0, :4] = 500.0  # a handful of >200 m outlier points
+    np.save(os.path.join(sgm, f"{frames[0]:010d}.npy"), noisy)
+    good = np.zeros((24, 32), np.float32)
+    good[:, :16] = 10.0
+    for fr in frames[1:]:
+        np.save(os.path.join(sgm, f"{fr:010d}.npy"), good)
+    stat, msg = check_data.diagnose_depth_units(root, seq, frames)
+    assert stat == "ok" and "3 frames" in msg

@@ -36,9 +36,14 @@ def main():
     leafsum = lambda t: sum(jnp.sum(l) for l in jax.tree.leaves(t)
                             if jnp.issubdtype(l.dtype, jnp.floating))
 
-    # (name, use_pallas, overrides on the trace-time switches)
+    # (name, use_pallas, overrides on the trace-time switches). Two recorded
+    # experiments share this tool (BASELINE.md round-3 A/B #1 and #2):
+    # matmul-formulation arms + XLA control, then storage/tile arms.
     variants = [
-        ("base", True, {}),
+        ("xla", False, {}),
+        ("base", True, {}),  # shipped defaults: dg, f32 accum, f32 acts
+        ("transpose", True, {"BWD_MATMUL_MODE": "transpose"}),
+        ("dg_bf16dw", True, {"DW_ACCUM_BF16": True}),
         ("act_bf16", True, {"ACT_STORE_BF16": True}),
         ("tile512", True, {"BWD_TILE": 512}),
         ("tile2048", True, {"BWD_TILE": 2048}),

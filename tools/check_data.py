@@ -111,6 +111,10 @@ def diagnose_depth_units(root: str, sequence: str, frames: list[int],
     import numpy as np
 
     base_dir = os.path.join(root, "sgm", sequence, cam)
+    # Aggregate over ALL frames: a single sparse/noisy frame (e.g. a
+    # handful of far-range SGM points) must not decide the verdict, so the
+    # unit test is the median of per-frame medians.
+    meds = []
     for fr in frames:
         base = os.path.join(base_dir, f"{fr:010d}")
         if os.path.exists(base + ".npy"):
@@ -125,25 +129,26 @@ def diagnose_depth_units(root: str, sequence: str, frames: list[int],
         else:
             continue
         valid = arr > 0
-        if not valid.any():
-            continue
-        med = float(np.median(arr[valid]))
-        if med > 200.0:
-            return ("warn",
-                    f"median valid depth {med:.0f} (frame {fr}) — driving "
-                    f"scenes sit at ~5-50 m; values this large look like "
-                    f"MILLIMETERS stored as meters (float maps are read "
-                    f"as-is; only uint16 PNGs get the /1000 mm rule)")
-        if med < 0.5:
-            return ("warn",
-                    f"median valid depth {med:.3f} m (frame {fr}) — "
-                    f"suspiciously small; uint16 PNGs are interpreted as "
-                    f"millimeters (/1000), so meters stored as uint16 "
-                    f"arrive 1000x too small")
-        return ("ok", f"median valid depth {med:.1f} m (frame {fr}); "
-                      f"interpreted per data.depth_convention "
-                      f"(plane_z -> ray distance at load)")
-    return ("none", "no depth frames found to value-check")
+        if valid.any():
+            meds.append(float(np.median(arr[valid])))
+    if not meds:
+        return ("none", "no depth frames found to value-check")
+    med = float(np.median(meds))
+    if med > 200.0:
+        return ("warn",
+                f"median valid depth {med:.0f} over {len(meds)} frames — "
+                f"driving scenes sit at ~5-50 m; values this large look "
+                f"like MILLIMETERS stored as meters (float maps are read "
+                f"as-is; only uint16 PNGs get the /1000 mm rule)")
+    if med < 0.5:
+        return ("warn",
+                f"median valid depth {med:.3f} m over {len(meds)} frames — "
+                f"suspiciously small; uint16 PNGs are interpreted as "
+                f"millimeters (/1000), so meters stored as uint16 "
+                f"arrive 1000x too small")
+    return ("ok", f"median valid depth {med:.1f} m over {len(meds)} frames; "
+                  f"interpreted per data.depth_convention "
+                  f"(plane_z -> ray distance at load)")
 
 
 def main() -> int:

@@ -117,6 +117,14 @@ def main() -> int:
                         "perspective+fisheye batches) after the panoptic "
                         "stage; with --synthesize-tree the tree also gets "
                         "MEI image_02 streams")
+    p.add_argument("--tree-frames", type=int, default=8,
+                   help="frames in the synthesized tree (with --synthesize-tree)")
+    p.add_argument("--tree-hw", default="48,64", metavar="H,W",
+                   help="image size of the synthesized tree (e.g. 94,352 for "
+                        "quarter-res KITTI-360 scale)")
+    p.add_argument("--tree-boxes", type=int, default=6,
+                   help="bounding primitives in the synthesized tree; more "
+                        "boxes = denser occlusion stress")
     p.add_argument("--proposal", default=None, metavar="D,W",
                    help="proposal-style small coarse for the whole chain "
                         "(model.coarse_trunk_depth/width=D,W; the coarse-only "
@@ -138,16 +146,23 @@ def main() -> int:
         from panopticnerf_tpu.data.demo_tree import write_demo_tree
 
         os.makedirs(args.synthesize_tree, exist_ok=True)
-        write_demo_tree(args.synthesize_tree, fisheye=args.fisheye)
-        # Presets match write_demo_tree's defaults (8 frames at 0..7, 48x64,
-        # content within ~20 m). The geometrically consistent tree is the
-        # quality proxy for the real dataset — the handcrafted loader
-        # fixture (tests/test_kitti360.py) deliberately mislabels vs its
-        # primitives and caps mIoU near 0.5.
+        hw = tuple(int(x) for x in args.tree_hw.split(","))
+        write_demo_tree(args.synthesize_tree, n_frames=args.tree_frames,
+                        hw=hw, n_boxes=args.tree_boxes, fisheye=args.fisheye)
+        # Presets track the tree-scale flags (default: 8 frames at 0..7,
+        # 48x64, 6 boxes, content within ~20 m). The geometrically
+        # consistent tree is the quality proxy for the real dataset — the
+        # handcrafted loader fixture (tests/test_kitti360.py) deliberately
+        # mislabels vs its primitives and caps mIoU near 0.5.
+        n_prims = args.tree_boxes + 1  # + ground plane
         presets = ["data.root", args.synthesize_tree,
-                   "data.frame_start", "0", "data.frame_num", "8",
-                   "data.test_every", "4", "data.max_primitives", "16",
-                   "data.max_intervals", "8", "data.ratio", "1.0",
+                   "data.frame_start", "0",
+                   "data.frame_num", str(args.tree_frames),
+                   "data.test_every", "4",
+                   "data.max_primitives", str(max(16, -(-n_prims // 8) * 8)),
+                   "data.max_intervals",
+                   str(8 if args.tree_boxes <= 12 else 12),
+                   "data.ratio", "1.0",
                    "render.far", "40.0"]
     elif args.root:
         presets = ["data.root", args.root]
