@@ -93,3 +93,21 @@ def test_proposal_chain_shape_compatible():
     # ... and the only fresh-init extras are the semantic heads (stage 1
     # trains geometry+rgb only), exactly as in the full-size chain.
     assert all("sem" in k for k in set(d4) - set(d1))
+
+
+def test_tree_presets_scale_derivation():
+    """--tree-* flags derive the padded capacities: primitives round up to
+    a multiple of 8 over boxes+ground (floor 16), dense soups get a deeper
+    interval budget, frame_num tracks the tree size."""
+    d = dict(zip(*(iter(run_staged.tree_presets("/t")),) * 2))  # pairwise
+    assert (d["data.max_primitives"], d["data.max_intervals"]) == ("16", "8")
+    assert d["data.frame_num"] == "8"
+
+    d = dict(zip(*(iter(run_staged.tree_presets(
+        "/t", n_frames=16, hw=(94, 352), n_boxes=24)),) * 2))
+    assert d["data.max_primitives"] == "32"  # 25 prims -> ceil8 = 32
+    assert d["data.max_intervals"] == "12"
+    assert d["data.frame_num"] == "16"
+
+    d = dict(zip(*(iter(run_staged.tree_presets("/t", n_boxes=16)),) * 2))
+    assert d["data.max_primitives"] == "24"  # 17 -> 24, above the floor

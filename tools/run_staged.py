@@ -41,6 +41,22 @@ STAGES = [
 STAGE_360 = "kitti360_360"
 
 
+def tree_presets(tree_dir, n_frames=8, hw=(48, 64), n_boxes=6):
+    """KEY VALUE presets for a synthesized demo tree of the given scale.
+    Pure (no IO) so tests can assert the derivation: the padded primitive
+    capacity covers the boxes + ground plane rounded up to a multiple of 8
+    (floor 16), and denser box soups get a deeper interval budget."""
+    n_prims = n_boxes + 1  # + ground plane
+    return ["data.root", tree_dir,
+            "data.frame_start", "0",
+            "data.frame_num", str(n_frames),
+            "data.test_every", "4",
+            "data.max_primitives", str(max(16, -(-n_prims // 8) * 8)),
+            "data.max_intervals", str(8 if n_boxes <= 12 else 12),
+            "data.ratio", "1.0",
+            "render.far", "40.0"]
+
+
 def stage_cfg(name, prev_ckpt, steps, common, user_keys, proposal=None):
     """Derive one stage's config. Pure (no training) so tests can assert the
     precedence rules: presets < stage defaults < explicit user opts.
@@ -154,16 +170,8 @@ def main() -> int:
         # consistent tree is the quality proxy for the real dataset — the
         # handcrafted loader fixture (tests/test_kitti360.py) deliberately
         # mislabels vs its primitives and caps mIoU near 0.5.
-        n_prims = args.tree_boxes + 1  # + ground plane
-        presets = ["data.root", args.synthesize_tree,
-                   "data.frame_start", "0",
-                   "data.frame_num", str(args.tree_frames),
-                   "data.test_every", "4",
-                   "data.max_primitives", str(max(16, -(-n_prims // 8) * 8)),
-                   "data.max_intervals",
-                   str(8 if args.tree_boxes <= 12 else 12),
-                   "data.ratio", "1.0",
-                   "render.far", "40.0"]
+        presets = tree_presets(args.synthesize_tree, args.tree_frames, hw,
+                               args.tree_boxes)
     elif args.root:
         presets = ["data.root", args.root]
     common = presets + list(args.opts)
