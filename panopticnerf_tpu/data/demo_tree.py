@@ -18,7 +18,10 @@ from that single source of truth:
     thereby validated end-to-end,
   - data_2d_semantics GT (raw-id semantic png + sem*1000+inst instance png),
   - data_3d_bboxes XML cuboids whose transforms reproduce the raycast
-    geometry exactly,
+    geometry exactly (plus, with n_concave>0, L-shaped concave extruded
+    polygons written as single 12-vertex annotations and raycast as the
+    two boxes that tile them — the annotation3d convex decomposition must
+    reproduce the raycast geometry for the streams to stay consistent),
   - calibration / poses / visible_id.
 
 Reference layout: [pn] preprocessed KITTI-360 release (unverified,
@@ -77,10 +80,40 @@ def _scene(n_boxes: int, rng: np.random.Generator):
     return centers, sizes, rots, labels, palette
 
 
+def _l_prism(i: int, rng: np.random.Generator):
+    """One L-shaped building footprint (concave 6-gon in x-z, extruded in y).
+
+    Returns (ring 6x2 in x-z file order, (y_top, y_bottom), centers 2x3,
+    sizes 2x3) where the two axis-aligned boxes tile the L exactly — the
+    raycast renders the boxes, the XML carries the single concave polygon,
+    and parse_bbox_xml's convex decomposition must reproduce the boxes.
+    """
+    sign = 1.0 if i % 2 == 0 else -1.0            # alternate street side
+    x0 = 2.3 + rng.uniform(0.0, 0.6)
+    z0 = 9.0 + 2.2 * (i // 2) + rng.uniform(0.0, 0.8)
+    wx = 1.4 + rng.uniform(0.0, 0.5)              # vertical-leg width (x)
+    dz = 3.4 + rng.uniform(0.0, 0.8)              # vertical-leg depth (z)
+    lx = 2.0 + rng.uniform(0.0, 0.6)              # horizontal-leg length (x)
+    wz = 1.4 + rng.uniform(0.0, 0.4)              # horizontal-leg depth (z)
+    y_top, y_bot = -1.5, 2.9                      # roof .. just above road
+    ring = np.array([
+        [x0, z0], [x0 + wx + lx, z0], [x0 + wx + lx, z0 + wz],
+        [x0 + wx, z0 + wz], [x0 + wx, z0 + dz], [x0, z0 + dz],
+    ])
+    ring[:, 0] *= sign
+    centers = np.array([
+        [sign * (x0 + wx / 2), (y_top + y_bot) / 2, z0 + dz / 2],
+        [sign * (x0 + wx + lx / 2), (y_top + y_bot) / 2, z0 + wz / 2],
+    ])
+    sizes = np.array([[wx, y_bot - y_top, dz], [lx, y_bot - y_top, wz]])
+    return ring, (y_top, y_bot), centers, sizes
+
+
 def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64),
                     n_boxes: int = 6, seed: int = 0, label_noise: float = 0.05,
                     depth_keep: float = 0.6, baseline: float = 0.5,
-                    seq: str = SEQ, fisheye: bool = False) -> str:
+                    seq: str = SEQ, fisheye: bool = False,
+                    n_concave: int = 0) -> str:
     """Write the tree under `root`; returns the sequence name. Call with
     several `seq`/`seed` values over one root to build a multi-sequence
     tree (data.sequences; BASELINE config 5).
@@ -98,15 +131,36 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
     h, w = hw
     rng = np.random.default_rng(seed)
     centers, sizes, rots, labels, palette = _scene(n_boxes, rng)
+    # Annotation bookkeeping: cuboids are one raycast box == one annotation;
+    # each concave L-building (n_concave) is ONE annotation (a 12-vertex
+    # extruded polygon in the XML) backed by TWO raycast boxes that tile it,
+    # exercising parse_bbox_xml's convex decomposition end-to-end.
+    ann_of_box = list(range(len(labels)))
+    ann_labels = list(labels)               # (name, raw id) per annotation
+    ann_geom: list[tuple] = [("cuboid", i) for i in range(len(labels))]
+    for b in range(n_concave):
+        ring, (y_top, y_bot), bc, bs = _l_prism(b, rng)
+        ann_id = len(ann_labels)
+        ann_labels.append(("building", 11))
+        ann_geom.append(("lprism", ring, y_top, y_bot))
+        ann_of_box += [ann_id, ann_id]
+        centers = np.concatenate([centers, bc])
+        sizes = np.concatenate([sizes, bs])
+        rots = np.concatenate([rots, [np.eye(3), np.eye(3)]])
+        color = rng.uniform(0.25, 1.0, 3)
+        palette = np.concatenate([palette, [color, color]])
+    ann_of_box = np.asarray(ann_of_box)
     half = sizes / 2.0
-    raw_ids = np.array([i for _, i in labels])
+    raw_ids = np.array([i for _, i in ann_labels])
     # local instance index per class (things get 1-based ids; stuff gets 0)
-    inst_local = np.zeros(len(labels), np.int64)
+    inst_local = np.zeros(len(ann_labels), np.int64)
     seen: dict[int, int] = {}
     for i, rid in enumerate(raw_ids):
         if (rid in (26, 11)):  # car/building are things here
             seen[rid] = seen.get(rid, 0) + 1
             inst_local[i] = seen[rid]
+    box_raw = raw_ids[ann_of_box]           # per-raycast-box raw id
+    box_inst = inst_local[ann_of_box]       # per-raycast-box instance
 
     fx = 0.8 * w
     K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]])
@@ -159,13 +213,21 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
     rootel = ET.Element("opencv_storage")
     cube = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
                      for z in (-0.5, 0.5)])
-    for i, ((label, rid), c, s, R) in enumerate(zip(labels, centers, sizes, rots)):
+    for i, ((label, rid), geom) in enumerate(zip(ann_labels, ann_geom)):
         obj = ET.SubElement(rootel, f"object_{i}")
-        T = np.eye(4)
-        T[:3, :3] = R @ np.diag(s)
-        T[:3, 3] = c
+        if geom[0] == "cuboid":
+            j = geom[1]
+            T = np.eye(4)
+            T[:3, :3] = rots[j] @ np.diag(sizes[j])
+            T[:3, 3] = centers[j]
+            verts = cube
+        else:  # concave extruded polygon: identity transform, world verts
+            _, ring, y_top, y_bot = geom
+            T = np.eye(4)
+            verts = np.array([[x, y, z] for y in (y_top, y_bot)
+                              for x, z in ring])
         _mat_xml(obj, "transform", T)
-        _mat_xml(obj, "vertices", cube)
+        _mat_xml(obj, "vertices", verts)
         _mat_xml(obj, "faces", np.zeros((6, 4)))
         ET.SubElement(obj, "label").text = label
         ET.SubElement(obj, "semanticId").text = str(rid)
@@ -181,7 +243,7 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
     os.makedirs(f"{root}/visible_id/{SEQ}", exist_ok=True)
     for i in range(n_frames):
         with open(f"{root}/visible_id/{SEQ}/{i:010d}.txt", "w") as f:
-            f.write("\n".join(str(j) for j in range(len(labels))) + "\n")
+            f.write("\n".join(str(j) for j in range(len(ann_labels))) + "\n")
 
     # --- per-frame raycast renders ---
     vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -235,7 +297,7 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
             Image.fromarray(img).save(
                 f"{root}/data_2d_raw/{SEQ}/{cam}/data_rect/{fr:010d}.png")
 
-            sem_raw = np.where(hit, raw_ids[np.clip(idx, 0, None)], _SKY_ID)
+            sem_raw = np.where(hit, box_raw[np.clip(idx, 0, None)], _SKY_ID)
             pseudo = sem_raw.copy()
             flip = rng.uniform(size=pseudo.shape) < label_noise
             pseudo[flip] = rng.choice(_NOISE_IDS, size=int(flip.sum()))
@@ -252,7 +314,7 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
                 Image.fromarray(sem_raw.reshape(h, w).astype(np.uint8)).save(
                     f"{d1}/{fr:010d}.png")
                 inst_map = sem_raw.astype(np.int64) * 1000
-                inst_map[hit] += inst_local[idx[hit]]
+                inst_map[hit] += box_inst[idx[hit]]
                 Image.fromarray(inst_map.reshape(h, w).astype(np.int32),
                                 mode="I").save(f"{d2}/{fr:010d}.png")
 
@@ -276,7 +338,7 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
             Image.fromarray(img).save(
                 f"{root}/data_2d_raw/{SEQ}/image_02/data_rgb/{fr:010d}.png")
 
-            sem_raw = np.where(hit, raw_ids[np.clip(idx, 0, None)], _SKY_ID)
+            sem_raw = np.where(hit, box_raw[np.clip(idx, 0, None)], _SKY_ID)
             sem_raw = np.where(fe_valid, sem_raw, 0)
             pseudo = sem_raw.copy()
             flip = (rng.uniform(size=pseudo.shape) < label_noise) & fe_valid

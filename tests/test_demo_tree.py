@@ -204,3 +204,56 @@ def test_pseudo_label_noise_and_gt_instances(demo_root, tmp_path):
     if car_or_bld.any():
         assert gi[car_or_bld].max() >= 1
     assert (gi[gt == 0] == 0).all()
+
+
+def test_concave_building_streams_consistent(tmp_path):
+    """n_concave>0 trees write each L-building as ONE concave 12-vertex
+    extruded-polygon annotation while raycasting the two boxes that tile
+    it: parse_bbox_xml's convex decomposition (ear-clip + merge) must
+    reproduce the raycast geometry exactly for depth AND semantics."""
+    from panopticnerf_tpu.data.annotation3d import parse_bbox_xml
+    from panopticnerf_tpu.data.dataset import view_primitives, view_rays
+    from panopticnerf_tpu.ops import intersect_rays
+
+    root = str(tmp_path / "concave")
+    os.makedirs(root)
+    seq = write_demo_tree(root, n_frames=2, hw=(32, 48), n_boxes=3, seed=0,
+                          label_noise=0.0, depth_keep=1.0, n_concave=2)
+
+    # XML carries single concave annotations; parse decomposes each into
+    # exactly 2 non-cuboid convex pieces sharing index/instance.
+    boxes = parse_bbox_xml(f"{root}/data_3d_bboxes/train/{seq}.xml")
+    from collections import Counter
+
+    per_index = Counter(b.index for b in boxes)
+    multi = [i for i, n in per_index.items() if n > 1]
+    assert len(multi) == 2
+    for i in multi:
+        pieces = [b for b in boxes if b.index == i]
+        assert len(pieces) == 2
+        assert all(not b.is_cuboid for b in pieces)
+        assert len({b.instance_id for b in pieces}) == 1
+        assert all(b.label == "building" for b in pieces)
+
+    cfg = _cfg(root)
+    cfg.data.frame_num = 2
+    ds = build_kitti360_dataset(cfg)
+    o, d = view_rays(ds, 0)
+    iv = intersect_rays(o, d, view_primitives(ds, 0), cfg.render.near,
+                        cfg.render.far, cfg.data.max_intervals)
+    mask = np.asarray(iv.mask)
+    t_in = np.where(mask, np.asarray(iv.t_in), np.inf)
+    nearest = t_in.argmin(1)
+    sem = np.asarray(iv.semantic)[np.arange(len(nearest)), nearest]
+    gt = np.asarray(ds.gt_sem[0]).reshape(-1)
+    prim_px = mask.any(1) & (gt != 255) & (gt != 10)
+    assert prim_px.sum() > 200
+    agree = (sem[prim_px] == gt[prim_px]).mean()
+    assert agree > 0.99, f"concave-tree fixed/GT agreement {agree:.3f}"
+
+    # depth roundtrip through the decomposed pieces stays exact
+    t_near = np.where(mask.any(1), np.asarray(iv.t_in).min(
+        1, initial=np.inf, where=mask), 0.0)
+    dep = np.asarray(ds.depth[0]).reshape(-1)
+    both = (dep > 0) & (t_near > 0) & np.isfinite(t_near)
+    np.testing.assert_allclose(dep[both], t_near[both], rtol=2e-2, atol=0.15)

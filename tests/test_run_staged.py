@@ -111,3 +111,12 @@ def test_tree_presets_scale_derivation():
 
     d = dict(zip(*(iter(run_staged.tree_presets("/t", n_boxes=16)),) * 2))
     assert d["data.max_primitives"] == "24"  # 17 -> 24, above the floor
+
+
+def test_tree_presets_concave_capacity():
+    """Each concave L-building decomposes into 2 convex records, so the
+    padded primitive capacity and interval budget must count them."""
+    d = dict(zip(*(iter(run_staged.tree_presets("/t", n_boxes=14,
+                                                n_concave=4)),) * 2))
+    assert d["data.max_primitives"] == "24"  # 14+1+8=23 -> ceil8 = 24
+    assert d["data.max_intervals"] == "12"   # effective 22 boxes > 12

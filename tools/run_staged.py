@@ -41,18 +41,20 @@ STAGES = [
 STAGE_360 = "kitti360_360"
 
 
-def tree_presets(tree_dir, n_frames=8, hw=(48, 64), n_boxes=6):
+def tree_presets(tree_dir, n_frames=8, hw=(48, 64), n_boxes=6, n_concave=0):
     """KEY VALUE presets for a synthesized demo tree of the given scale.
     Pure (no IO) so tests can assert the derivation: the padded primitive
     capacity covers the boxes + ground plane rounded up to a multiple of 8
-    (floor 16), and denser box soups get a deeper interval budget."""
-    n_prims = n_boxes + 1  # + ground plane
+    (floor 16), and denser box soups get a deeper interval budget. Each
+    concave L-building decomposes into 2 convex records (annotation3d)."""
+    n_prims = n_boxes + 1 + 2 * n_concave  # + ground plane
+    n_eff = n_boxes + 2 * n_concave
     return ["data.root", tree_dir,
             "data.frame_start", "0",
             "data.frame_num", str(n_frames),
             "data.test_every", "4",
             "data.max_primitives", str(max(16, -(-n_prims // 8) * 8)),
-            "data.max_intervals", str(8 if n_boxes <= 12 else 12),
+            "data.max_intervals", str(8 if n_eff <= 12 else 12),
             "data.ratio", "1.0",
             "render.far", "40.0"]
 
@@ -141,6 +143,10 @@ def main() -> int:
     p.add_argument("--tree-boxes", type=int, default=6,
                    help="bounding primitives in the synthesized tree; more "
                         "boxes = denser occlusion stress")
+    p.add_argument("--tree-concave", type=int, default=0,
+                   help="concave L-shaped extruded-polygon buildings in the "
+                        "synthesized tree (each decomposes into 2 convex "
+                        "records — exercises the annotation3d path)")
     p.add_argument("--proposal", default=None, metavar="D,W",
                    help="proposal-style small coarse for the whole chain "
                         "(model.coarse_trunk_depth/width=D,W; the coarse-only "
@@ -164,14 +170,15 @@ def main() -> int:
         os.makedirs(args.synthesize_tree, exist_ok=True)
         hw = tuple(int(x) for x in args.tree_hw.split(","))
         write_demo_tree(args.synthesize_tree, n_frames=args.tree_frames,
-                        hw=hw, n_boxes=args.tree_boxes, fisheye=args.fisheye)
+                        hw=hw, n_boxes=args.tree_boxes, fisheye=args.fisheye,
+                        n_concave=args.tree_concave)
         # Presets track the tree-scale flags (default: 8 frames at 0..7,
         # 48x64, 6 boxes, content within ~20 m). The geometrically
         # consistent tree is the quality proxy for the real dataset — the
         # handcrafted loader fixture (tests/test_kitti360.py) deliberately
         # mislabels vs its primitives and caps mIoU near 0.5.
         presets = tree_presets(args.synthesize_tree, args.tree_frames, hw,
-                               args.tree_boxes)
+                               args.tree_boxes, args.tree_concave)
     elif args.root:
         presets = ["data.root", args.root]
     common = presets + list(args.opts)
