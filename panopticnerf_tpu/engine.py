@@ -132,7 +132,18 @@ def evaluate_views(cfg: Config, model, params, ds, view_ids, render=None) -> dic
 
 
 def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
-    """Reference train_net.py equivalent: epoch loop with save/eval cadence."""
+    """Reference train_net.py equivalent: epoch loop with save/eval cadence.
+
+    Multi-host (jax.process_count() > 1, e.g. a TPU slice joined via
+    jax.distributed): every process executes the same SPMD program — train
+    steps, eval renders, and orbax checkpoint saves (orbax coordinates the
+    cross-host write itself, so save_model must run on ALL processes) —
+    while host-side side effects (recorder streams, the best-metric
+    sidecar, console lines) belong to process 0 only.
+    """
+    lead = jax.process_index() == 0
+    if not lead:
+        log = lambda *a, **k: None  # noqa: E731 — lead host owns the console
     ds, train_ids, test_ids, model, state = _build(cfg)
     step_fn = _make_step(cfg, model, log=log)
 
@@ -153,7 +164,7 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
         train_ids = np.arange(cfg.data.stream_window)
         eval_ds = host.window(np.asarray(test_ids))
         test_ids = np.arange(len(test_ids))
-    recorder = Recorder(cfg.record_path)
+    recorder = Recorder(cfg.record_path, write=lead)
     ckpt_dir = cfg.trained_model_dir
 
     start_step = 0
@@ -297,11 +308,12 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
                     best_kind = kind
                     save_model(state, cfg.best_model_dir, step + 1,
                                max_to_keep=1)
-                    import json
+                    if lead:
+                        import json
 
-                    with open(best_meta_path, "w") as f:
-                        json.dump({"value": best_val, "step": step + 1,
-                                   "metric": kind}, f)
+                        with open(best_meta_path, "w") as f:
+                            json.dump({"value": best_val, "step": step + 1,
+                                       "metric": kind}, f)
                     log(f"new best eval metric {best_val:.4f} -> saved best@{step + 1}")
         save_model(state, ckpt_dir, total_steps)
     finally:
@@ -344,6 +356,8 @@ def run_evaluate(cfg: Config, log=print) -> dict:
     measured on the manually-annotated frames (which belong to the training
     sequence — the task IS annotating it); PSNR additionally on the held-out
     test views."""
+    if jax.process_index() != 0:
+        log = lambda *a, **k: None  # noqa: E731
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
     ev = make_evaluator(cfg)
     mesh = _eval_mesh(cfg)
@@ -438,6 +452,11 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
                   trajectory: int = 0) -> list:
     from panopticnerf_tpu.viz import Visualizer
 
+    # Multi-host: every process renders (the sharded render is a collective
+    # program) but only process 0 writes files.
+    lead = jax.process_index() == 0
+    if not lead:
+        log = lambda *a, **k: None  # noqa: E731
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
     viz = Visualizer(cfg)
     ev = make_evaluator(cfg)
@@ -448,6 +467,8 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
     for view in test_ids:
         out = render(params, int(view))
         sem, inst = ev.evaluate(out)
+        if not lead:
+            continue
         written += viz.write_view(int(view), out, (h, w), sem=sem, inst=inst)
         if sem is not None and inst is not None:
             written += viz.write_label_transfer(int(view), sem, inst, (h, w))
@@ -457,8 +478,9 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
         for i, near_view, out in render_trajectory(cfg, model, params, ds,
                                                    trajectory, mesh=mesh):
             sem_t, inst_t = ev.evaluate(out)
-            written += viz.write_view(2_000_000 + i, out, (h, w),
-                                      sem=sem_t, inst=inst_t)
+            if lead:
+                written += viz.write_view(2_000_000 + i, out, (h, w),
+                                          sem=sem_t, inst=inst_t)
         log(f"trajectory: rendered {trajectory} interpolated poses")
     if panorama_hw is not None:
         # 360-degree label transfer: one panorama at the middle test view
@@ -470,12 +492,13 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
             lambda p: render_panorama(eval_model, p, ds, view, panorama_hw, cfg)
         )(params)
         sem_p, inst_p = ev.evaluate(pano)
-        written += viz.write_view(
-            1_000_000 + view, pano, panorama_hw, sem=sem_p, inst=inst_p
-        )
+        if lead:
+            written += viz.write_view(
+                1_000_000 + view, pano, panorama_hw, sem=sem_p, inst=inst_p
+            )
     for suffix, name in (("_rgb.png", "rgb.mp4"), ("_semantic.png", "semantic.mp4"),
                          ("_panoptic.png", "panoptic.mp4")):
-        v = viz.write_video(suffix, name)
+        v = viz.write_video(suffix, name) if lead else None
         if v:
             written.append(v)
     log(f"wrote {len(written)} files under {cfg.result_path}")

@@ -62,5 +62,11 @@ def render_image_rays_sharded(
 
     args = (ro_t, rd_t, iv_t) if iv is not None else (ro_t, rd_t)
     outs = lax.map(one, args)
-    unpad = lambda a: None if a is None else a.reshape(-1, *a.shape[2:])[:n]
+    # Replicate the final maps: a tiny all-gather per frame that lets every
+    # HOST read the full image (multi-host eval/visualize does host-side
+    # metric + file work on np.asarray(out.*), which requires fully
+    # replicated global arrays).
+    rep = NamedSharding(mesh, P())
+    unpad = lambda a: None if a is None else lax.with_sharding_constraint(
+        a.reshape(-1, *a.shape[2:])[:n], rep)
     return RenderOut(*[unpad(x) if isinstance(x, jnp.ndarray) else None for x in outs])

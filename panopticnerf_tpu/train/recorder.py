@@ -42,15 +42,21 @@ class SmoothedValue:
 
 
 class Recorder:
-    def __init__(self, record_dir: str, use_tensorboard: bool = True):
+    def __init__(self, record_dir: str, use_tensorboard: bool = True,
+                 write: bool = True):
+        """write=False keeps the smoothed stats (log_line) but touches no
+        files — multi-host runs pass write=(process_index == 0) so only the
+        lead host owns the JSONL/TensorBoard streams."""
         self.record_dir = record_dir
-        os.makedirs(record_dir, exist_ok=True)
         self.jsonl_path = os.path.join(record_dir, "metrics.jsonl")
-        self._jsonl = open(self.jsonl_path, "a")
+        self._jsonl = None
+        if write:
+            os.makedirs(record_dir, exist_ok=True)
+            self._jsonl = open(self.jsonl_path, "a")
         self.stats = defaultdict(SmoothedValue)
         self.step = 0
         self._tb = None
-        if use_tensorboard:
+        if use_tensorboard and write:
             try:
                 import tensorflow as tf  # noqa: PLC0415
 
@@ -67,6 +73,8 @@ class Recorder:
 
     def record(self, prefix: str = "train"):
         """Flush current smoothed values at self.step."""
+        if self._jsonl is None:
+            return
         payload = {"step": self.step, "prefix": prefix}
         payload.update({k: v.avg for k, v in self.stats.items()})
         self._jsonl.write(json.dumps(payload) + "\n")
@@ -89,5 +97,5 @@ class Recorder:
     def close(self):
         """Idempotent: run_train closes in its finally block, and callers
         (tests, staged runs) may close again."""
-        if not self._jsonl.closed:
+        if self._jsonl is not None and not self._jsonl.closed:
             self._jsonl.close()

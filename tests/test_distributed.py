@@ -76,6 +76,71 @@ print(f"RESULT {pid} loss={loss:.10f} paramsum={psum:.8f}", flush=True)
 """
 
 
+CHILD_CLI = """
+import os, sys
+
+pid = int(sys.argv[1])
+os.environ["JAX_PROCESS_ID"] = str(pid)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax._src.xla_bridge as xb
+
+getattr(xb, "_backend_factories", {}).pop("axon", None)
+
+from panopticnerf_tpu.parallel import maybe_init_distributed
+
+assert maybe_init_distributed(), "distributed init failed"
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+import numpy as np
+
+from panopticnerf_tpu.config import Config
+from panopticnerf_tpu.engine import run_train
+
+root = os.environ["TEST_RUN_ROOT"]
+cfg = Config()
+cfg.model_dir = os.path.join(root, "trained_model")
+cfg.record_dir = os.path.join(root, "record")
+cfg.result_dir = os.path.join(root, "result")
+cfg.data.dataset = "synthetic"
+cfg.data.synthetic_image_hw = (12, 16)
+cfg.data.synthetic_num_frames = 4
+cfg.data.synthetic_num_boxes = 3
+cfg.data.n_rays = 64
+cfg.data.views_per_batch = 1
+cfg.data.max_primitives = 4
+cfg.data.max_intervals = 2
+cfg.model.trunk_depth = 2
+cfg.model.trunk_width = 16
+cfg.model.color_width = 8
+cfg.model.num_classes = 4
+cfg.model.compute_dtype = "float32"
+cfg.render.n_samples = 8
+cfg.render.n_importance = 0
+cfg.render.near = 0.5
+cfg.render.far = 40.0
+cfg.render.use_primitives = True
+cfg.render.ray_tile = 64
+cfg.train.ep_iter = 2
+cfg.train.epochs = 2
+cfg.train.log_interval = 2
+cfg.train.record_interval = 2
+cfg.train.save_ep = 1
+cfg.train.eval_ep = 1
+cfg.train.eval_views = 0
+cfg.train.save_best = True
+cfg.train.pretrain = ""
+
+res = run_train(cfg)
+loss = float(res["metrics"]["loss_total"])
+psum = float(sum(np.abs(np.asarray(l)).sum()
+                 for l in jax.tree.leaves(res["state"].params)))
+print(f"RESULT {pid} loss={loss:.10f} paramsum={psum:.8f}", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -127,6 +192,63 @@ def _run_pair(tmp_path, use_pallas: bool):
 
 def test_two_process_data_parallel_step(tmp_path):
     _run_pair(tmp_path, use_pallas=False)
+
+
+def test_two_process_cli_train(tmp_path):
+    """Full run_train (engine loop: steps, eval renders, orbax saves,
+    save_best, recorder) across two real processes. Host-side artifacts
+    must be written exactly once (process 0); the checkpoint save is a
+    coordinated orbax write every process participates in."""
+    script = tmp_path / "child_cli.py"
+    script.write_text(CHILD_CLI)
+    run_root = tmp_path / "run"
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        JAX_NUM_PROCESSES="2",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+        PYTHONPATH=REPO,
+        TEST_RUN_ROOT=str(run_root),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, loss, psum = line.split()
+                results[pid] = (loss, psum)
+    assert set(results) == {"0", "1"}, outs
+    assert results["0"] == results["1"], results
+
+    # Exactly one recorder stream (process 0's), with real content.
+    jsonl = run_root / "record" / "panopticnerf" / "default" / "metrics.jsonl"
+    assert jsonl.exists() and jsonl.read_text().strip(), outs
+    # The coordinated orbax save landed the final step.
+    from panopticnerf_tpu.train.checkpoint import latest_step
+
+    assert latest_step(str(run_root / "trained_model" / "panopticnerf"
+                           / "default")) == 4
+    # save_best wrote its sidecar once, beside the step root.
+    import json
+
+    meta = json.loads((run_root / "trained_model" / "panopticnerf"
+                       / "default_best_metric.json").read_text())
+    assert meta["step"] in (2, 4)
 
 
 def test_two_process_shard_map_kernel_step(tmp_path):
