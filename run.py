@@ -36,7 +36,9 @@ def main():
     args = parse_args()
     from panopticnerf_tpu import engine
     from panopticnerf_tpu.config import make_cfg
+    from panopticnerf_tpu.parallel import maybe_init_distributed
 
+    maybe_init_distributed()  # multi-host slice: no-op single-host
     cfg = make_cfg(args)
     if args.type == "visualize":
         pano = tuple(int(x) for x in args.panorama.split(",")) if args.panorama else None

@@ -30,7 +30,11 @@ def main():
     args = parse_args()
     from panopticnerf_tpu.config import make_cfg
     from panopticnerf_tpu.engine import run_train
+    from panopticnerf_tpu.parallel import maybe_init_distributed
 
+    # Multi-host slice: wire the DCN control plane before any backend use
+    # (no-op single-host; see parallel/distributed.py for the env contract).
+    maybe_init_distributed()
     cfg = make_cfg(args)
     run_train(cfg, max_steps=args.max_steps)
 
