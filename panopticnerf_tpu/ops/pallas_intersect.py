@@ -16,9 +16,11 @@ gathers. Design notes:
 Supports the shared-primitive-set path (one prim table for all rays, i.e.
 per-view intersection / eval rendering) and — via a (G, M/T) grid — the
 grouped train path (see intersect_groups_pallas). Convex cut planes are
-folded into the same pass: each primitive row carries up to F half-spaces
-[n | b] after its affine+labels, and the slab range is refined in-kernel
-exactly as in ops.intersect.ray_box_intervals.
+folded into the same pass: a separate (F, 4, P_pad) operand carries the
+half-space coefficients [n | b] per (plane, prim) — lanes on the prim axis
+to match the (T, P) compute layout — and the slab range is refined
+in-kernel, vectorized over F, exactly as in
+ops.intersect.ray_box_intervals.
 
 Hardware parity note (v5e, measured round 3): vs the XLA path the kernel
 flips ~0.02-0.04% of interval slots whose hit test sits on a float decision
@@ -46,25 +48,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cap_tile(tile: int, f: int) -> int:
-    """Ray-tile cap for the cut-plane kernel. Mosaic stack-allocates the
-    fully unrolled slab+plane+top-K temps per ray tile; measured on v5e
-    (P_pad=32, K=12): f=8 planes at tile 256 requests 44.1 MB of scoped
-    VMEM against the 16 MB window (f=0 fits). Scoped usage scales with the
-    tile, so 64 rays/tile keeps the plane variant ~11 MB with headroom.
-    The grid streams more (smaller) tiles — total work is unchanged."""
-    return min(tile, 64) if f > 0 else tile
+    """Ray-tile cap for the cut-plane kernel. The plane refinement's
+    (F, T, P) temps scale Mosaic's scoped-VMEM stack by f*tile; measured
+    on v5e (P_pad=32, K=12) the vectorized form fits the 16 MB window at
+    f=8 x tile 256 (the pre-round-3 python-unrolled form needed 44 MB —
+    Mosaic stack-allocates unrolled per-iteration temps without reuse).
+    Scale the tile down for deeper plane budgets; total work is unchanged
+    (the grid streams more, smaller tiles)."""
+    if f <= 8:
+        return tile
+    return min(tile, max(64, _round_up(2048 // f, 8)))
 
 
-def _intersect_tile(rays, prim, store, *, p: int, k: int, near: float,
+def _intersect_tile(rays, prim, planes, store, *, p: int, k: int, near: float,
                     far: float, f: int = 0):
     """Core slab + top-K math on one ray tile.
 
     rays (T, 128): [ox oy oz dx dy dz ...pad]; prim (P_pad, 128): rows
-    [A(12) | valid | sem | inst | planes(F*4) ...pad]. f = number of cut
-    planes per row (0 = OBB only); padding planes are all-pass [0 0 0 1].
-    Emits interval slot kk via store(kk, t_in, t_out, sem, inst), each
-    value (T,) — the caller owns the output refs (and their leading block
-    dims), so the single-table and grouped kernels share this body."""
+    [A(12) | valid | sem | inst ...pad]; planes (F, 4, P_pad) half-space
+    coefficients [n0 n1 n2 b] per (plane, prim), or None when f == 0
+    (all-zero padding columns are all-pass in this formulation). Emits
+    interval slot kk via store(kk, t_in, t_out, sem, inst), each value
+    (T,) — the caller owns the output refs (and their leading block dims),
+    so the single-table and grouped kernels share this body."""
     t = rays.shape[0]
     o = rays[:, 0:3]                                         # (T, 3)
     d = rays[:, 3:6]
@@ -100,23 +106,29 @@ def _intersect_tile(rays, prim, store, *, p: int, k: int, near: float,
         # Convex half-space refinement (same math as the XLA path): for
         # plane n.x <= b along x(s) = o_l + s d_l, the constraint a*s <= c
         # with a = n.d_l, c = b - n.o_l caps t_hi (a > 0), raises t_lo
-        # (a < 0), or is a hard miss (a ~ 0 and c < 0).
+        # (a < 0), or is a hard miss (a ~ 0 and c < 0). Vectorized over the
+        # plane axis as (F, T, P) — F leads (untiled), lanes stay on P —
+        # instead of an unrolled python loop: Mosaic stack-allocates the
+        # unrolled form's per-iteration temps without reuse, which is what
+        # blew the scoped-VMEM window at F=8 (see _cap_tile).
         eps = 1e-9
-        for ff in range(f):
-            base = 15 + 4 * ff
-            n0 = prim[:p, base]
-            n1 = prim[:p, base + 1]
-            n2 = prim[:p, base + 2]
-            b = prim[:p, base + 3]
-            a = (n0[None] * d_ls[0] + n1[None] * d_ls[1] + n2[None] * d_ls[2])
-            c = b[None] - (n0[None] * o_ls[0] + n1[None] * o_ls[1] + n2[None] * o_ls[2])
-            entering = a < -eps
-            leaving = a > eps
-            safe_a = jnp.where(jnp.abs(a) < eps, eps, a)
-            t_plane = c / safe_a
-            t_lo = jnp.maximum(t_lo, jnp.where(entering, t_plane, -BIG))
-            t_hi = jnp.minimum(t_hi, jnp.where(leaving, t_plane, BIG))
-            t_hi = jnp.where((jnp.abs(a) <= eps) & (c < 0), -BIG, t_hi)
+        n0 = planes[:, 0, :p]                                          # (F, P)
+        n1 = planes[:, 1, :p]
+        n2 = planes[:, 2, :p]
+        b = planes[:, 3, :p]
+        a = (n0[:, None, :] * d_ls[0][None] + n1[:, None, :] * d_ls[1][None]
+             + n2[:, None, :] * d_ls[2][None])                         # (F, T, P)
+        c = b[:, None, :] - (n0[:, None, :] * o_ls[0][None]
+                             + n1[:, None, :] * o_ls[1][None]
+                             + n2[:, None, :] * o_ls[2][None])
+        safe_a = jnp.where(jnp.abs(a) < eps, eps, a)
+        t_plane = c / safe_a
+        t_lo = jnp.maximum(
+            t_lo, jnp.max(jnp.where(a < -eps, t_plane, -BIG), axis=0))
+        t_hi = jnp.minimum(
+            t_hi, jnp.min(jnp.where(a > eps, t_plane, BIG), axis=0))
+        miss = jnp.any((jnp.abs(a) <= eps) & (c < 0), axis=0)
+        t_hi = jnp.where(miss, -BIG, t_hi)
 
     t_in = jnp.maximum(t_lo, near)
     t_out = jnp.minimum(t_hi, far)
@@ -143,9 +155,12 @@ def _intersect_tile(rays, prim, store, *, p: int, k: int, near: float,
         work = jnp.where(sel, BIG, work)                      # remove selected
 
 
-def _kernel(rays_ref, prim_ref, meta_ref, tin_ref, tout_ref, sem_ref, inst_ref,
-            *, p: int, k: int, near: float, far: float, f: int = 0):
-    """Single-table kernel: one prim table shared by every ray tile."""
+def _kernel(rays_ref, prim_ref, meta_ref, *refs,
+            p: int, k: int, near: float, far: float, f: int = 0):
+    """Single-table kernel: one prim table shared by every ray tile.
+    refs = (planes_ref if f else) + (tin, tout, sem, inst)."""
+    planes = refs[0][...] if f else None
+    tin_ref, tout_ref, sem_ref, inst_ref = refs[1:] if f else refs
 
     def store(kk, t_in, t_out, sem, inst):
         tin_ref[:, kk] = t_in
@@ -153,18 +168,20 @@ def _kernel(rays_ref, prim_ref, meta_ref, tin_ref, tout_ref, sem_ref, inst_ref,
         sem_ref[:, kk] = sem
         inst_ref[:, kk] = inst
 
-    _intersect_tile(rays_ref[...], prim_ref[...], store, p=p, k=k, near=near,
-                    far=far, f=f)
+    _intersect_tile(rays_ref[...], prim_ref[...], planes, store, p=p, k=k,
+                    near=near, far=far, f=f)
 
 
-def _kernel_grouped(rays_ref, prim_ref, tin_ref, tout_ref, sem_ref, inst_ref,
-                    *, p: int, k: int, near: float, far: float, f: int = 0):
+def _kernel_grouped(rays_ref, prim_ref, *refs,
+                    p: int, k: int, near: float, far: float, f: int = 0):
     """Grouped kernel: blocks carry a leading singleton GROUP dim — the
     group axis is a real grid dimension (grid (G, M/T)), NOT a vmap over
     pallas_call. vmap folds the batch into the kernel block, multiplying
     every internal (T, P) temp by G; with the unrolled cut-plane loop that
     overflowed the 16 MB scoped-VMEM window at stress scale (G=8, F=8:
     44 MB requested). As a grid dim, VMEM stays bounded by one tile."""
+    planes = refs[0][0] if f else None
+    tin_ref, tout_ref, sem_ref, inst_ref = refs[1:] if f else refs
 
     def store(kk, t_in, t_out, sem, inst):
         tin_ref[0, :, kk] = t_in
@@ -172,25 +189,34 @@ def _kernel_grouped(rays_ref, prim_ref, tin_ref, tout_ref, sem_ref, inst_ref,
         sem_ref[0, :, kk] = sem
         inst_ref[0, :, kk] = inst
 
-    _intersect_tile(rays_ref[0], prim_ref[0], store, p=p, k=k, near=near,
-                    far=far, f=f)
+    _intersect_tile(rays_ref[0], prim_ref[0], planes, store, p=p, k=k,
+                    near=near, far=far, f=f)
 
 
-def _pack_prim_rows(prims: Primitives) -> tuple[jnp.ndarray, int]:
-    """(P_pad, 128) rows [A(12) | valid | sem | inst | planes(F*4)], F."""
+def _pack_prim_rows(prims: Primitives) -> jnp.ndarray:
+    """(P_pad, 128) rows [A(12) | valid | sem | inst]."""
     p = prims.world_to_prim.shape[0]
     p_pad = _round_up(p, 8)
-    f = 0 if prims.cut_planes is None else prims.cut_planes.shape[1]
-    if 15 + 4 * f > 128:
-        raise ValueError(f"cut-plane count {f} exceeds the 128-lane prim row")
     rows = jnp.zeros((p_pad, 128), jnp.float32)
     rows = rows.at[:p, 0:12].set(prims.world_to_prim.reshape(p, 12))
     rows = rows.at[:p, 12].set(prims.valid.astype(jnp.float32))
     rows = rows.at[:p, 13].set(prims.semantic.astype(jnp.float32))
     rows = rows.at[:p, 14].set(prims.instance.astype(jnp.float32))
-    if f:
-        rows = rows.at[:p, 15:15 + 4 * f].set(prims.cut_planes.reshape(p, 4 * f))
-    return rows, f
+    return rows
+
+
+def _pack_planes(cut_planes, p_pad: int):
+    """cut_planes (..., P, F, 4) -> ((..., F, 4, P_pad), F) plane operand.
+
+    Lanes carry the prim axis (matching the (T, P) compute layout); the
+    plane axis leads. Zero padding columns are all-pass (n = 0, b = 0:
+    no entering/leaving constraint and no hard miss)."""
+    if cut_planes is None:
+        return None, 0
+    *lead, p, f, _ = cut_planes.shape
+    planes = jnp.zeros((*lead, f, 4, p_pad), jnp.float32)
+    src = jnp.moveaxis(cut_planes, -3, -1)  # (..., F, 4, P)
+    return planes.at[..., :p].set(src), f
 
 
 def intersect_rays_pallas(
@@ -209,13 +235,24 @@ def intersect_rays_pallas(
     p = prims.world_to_prim.shape[0]
     k_pad = _round_up(k, 128)
 
-    prim_rows, f = _pack_prim_rows(prims)
+    prim_rows = _pack_prim_rows(prims)
+    p_pad = prim_rows.shape[0]
+    planes, f = _pack_planes(prims.cut_planes, p_pad)
     tile = _cap_tile(tile, f)
     rays = jnp.zeros((_round_up(max(n, tile), tile), 128), jnp.float32)
     rays = rays.at[:n, 0:3].set(rays_o).at[:n, 3:6].set(rays_d)
 
-    p_pad = prim_rows.shape[0]
     meta = jnp.zeros((1, 128), jnp.float32)
+    operands = [rays, prim_rows, meta]
+    in_specs = [
+        pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if f:
+        operands.append(planes)
+        in_specs.append(pl.BlockSpec((f, 4, p_pad), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
 
     n_pad = rays.shape[0]
     outs = pl.pallas_call(
@@ -225,18 +262,14 @@ def intersect_rays_pallas(
         ),
         grid_spec=pl.GridSpec(
             grid=(n_pad // tile,),
-            in_specs=[
-                pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((p_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(
                 pl.BlockSpec((tile, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
                 for _ in range(4)
             ),
         ),
         interpret=interpret,
-    )(rays, prim_rows, meta)
+    )(*operands)
     t_in, t_out, sem, inst = [o[:n, :k] for o in outs]
     mask = t_in < BIG * 0.5
     return RayIntervals(
@@ -248,22 +281,16 @@ def intersect_rays_pallas(
     )
 
 
-def _pack_prim_rows_grouped(prims: Primitives) -> tuple[jnp.ndarray, int]:
-    """(G, P_pad, 128) rows [A(12) | valid | sem | inst | planes(F*4)], F."""
+def _pack_prim_rows_grouped(prims: Primitives) -> jnp.ndarray:
+    """(G, P_pad, 128) rows [A(12) | valid | sem | inst]."""
     g, p = prims.world_to_prim.shape[:2]
     p_pad = _round_up(p, 8)
-    f = 0 if prims.cut_planes is None else prims.cut_planes.shape[2]
-    if 15 + 4 * f > 128:
-        raise ValueError(f"cut-plane count {f} exceeds the 128-lane prim row")
     rows = jnp.zeros((g, p_pad, 128), jnp.float32)
     rows = rows.at[:, :p, 0:12].set(prims.world_to_prim.reshape(g, p, 12))
     rows = rows.at[:, :p, 12].set(prims.valid.astype(jnp.float32))
     rows = rows.at[:, :p, 13].set(prims.semantic.astype(jnp.float32))
     rows = rows.at[:, :p, 14].set(prims.instance.astype(jnp.float32))
-    if f:
-        rows = rows.at[:, :p, 15:15 + 4 * f].set(
-            prims.cut_planes.reshape(g, p, 4 * f))
-    return rows, f
+    return rows
 
 
 def intersect_groups_pallas(
@@ -283,14 +310,28 @@ def intersect_groups_pallas(
     see _kernel_grouped for the scoped-VMEM rationale."""
     g, m = rays_o.shape[:2]
     p = prims.world_to_prim.shape[1]
-    prim_rows, f = _pack_prim_rows_grouped(prims)
+    prim_rows = _pack_prim_rows_grouped(prims)
     p_pad = prim_rows.shape[1]
+    planes, f = _pack_planes(prims.cut_planes, p_pad)   # (G, F, 4, P_pad)
     tile = min(_cap_tile(tile, f), _round_up(m, 8))
     k_pad = _round_up(k, 128)
     m_pad = _round_up(max(m, tile), tile)
 
     rays = jnp.zeros((g, m_pad, 128), jnp.float32)
     rays = rays.at[:, :m, 0:3].set(rays_o).at[:, :m, 3:6].set(rays_d)
+
+    operands = [rays, prim_rows]
+    in_specs = [
+        pl.BlockSpec((1, tile, 128), lambda gi, i: (gi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p_pad, 128), lambda gi, i: (gi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if f:
+        operands.append(planes)
+        in_specs.append(pl.BlockSpec((1, f, 4, p_pad),
+                                     lambda gi, i: (gi, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         functools.partial(_kernel_grouped, p=p, k=k, near=near, far=far, f=f),
@@ -299,12 +340,7 @@ def intersect_groups_pallas(
         ),
         grid_spec=pl.GridSpec(
             grid=(g, m_pad // tile),
-            in_specs=[
-                pl.BlockSpec((1, tile, 128), lambda gi, i: (gi, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p_pad, 128), lambda gi, i: (gi, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(
                 pl.BlockSpec((1, tile, k_pad), lambda gi, i: (gi, i, 0),
                              memory_space=pltpu.VMEM)
@@ -312,7 +348,7 @@ def intersect_groups_pallas(
             ),
         ),
         interpret=interpret,
-    )(rays, prim_rows)
+    )(*operands)
     t_in, t_out, sem, inst = [o[:, :m, :k] for o in outs]
     mask = t_in < BIG * 0.5
     return RayIntervals(

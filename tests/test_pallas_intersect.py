@@ -132,9 +132,12 @@ def test_pallas_intersect_cut_planes_matches_xla(k):
     np.testing.assert_array_equal(np.asarray(out.semantic)[m], np.asarray(ref.semantic)[m])
 
 
-def test_grouped_train_intervals_pallas_matches_xla():
-    """batch_intervals(use_pallas=True) == XLA on the grouped train path,
-    cut planes included (the synthetic dataset carries prim_planes)."""
+@pytest.mark.parametrize("with_planes", [False, True])
+def test_grouped_train_intervals_pallas_matches_xla(with_planes):
+    """batch_intervals(use_pallas=True) == XLA on the grouped train path.
+    with_planes injects per-view convex cut planes (the synthetic dataset
+    is cuboid-only, so the plane branch needs them grafted on) — this is
+    the exact path concave KITTI-360 annotations take at train time."""
     import jax
 
     from panopticnerf_tpu.config import Config
@@ -150,6 +153,12 @@ def test_grouped_train_intervals_pallas_matches_xla():
     cfg.render.near = 0.5
     cfg.render.far = 40.0
     ds = build_synthetic_dataset(cfg, seed=0)
+    if with_planes:
+        v, p = ds.prim_valid.shape
+        planes = np.tile(np.array([0, 0, 0, 1], np.float32), (v, p, 6, 1))
+        cp = np.asarray(_prism_cut_planes(sides=5, max_planes=6), np.float32)
+        planes[:, ::2] = cp  # every other primitive becomes a pentagon prism
+        ds = ds._replace(prim_planes=jnp.asarray(planes))
     g = 4
     batch = sample_ray_batch(jax.random.key(7), ds, jnp.arange(6), 128, g)
 
