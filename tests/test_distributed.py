@@ -149,10 +149,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_pair(tmp_path, use_pallas: bool):
-    script = tmp_path / "child.py"
-    script.write_text(CHILD)
-    port = _free_port()
+def _child_env(tmp_path, port: int, **extra) -> dict:
     env = dict(os.environ)
     env.update(
         PALLAS_AXON_POOL_IPS="",
@@ -160,21 +157,49 @@ def _run_pair(tmp_path, use_pallas: bool):
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
         JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
         JAX_NUM_PROCESSES="2",
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+        # Per-test cache: a shared /tmp cache accumulates AOT entries from
+        # other machine generations (feature-mismatch reload spam) and
+        # makes child startup times diverge past gloo's 30 s context
+        # deadline under load.
+        JAX_COMPILATION_CACHE_DIR=str(tmp_path / "jax_cache"),
         PYTHONPATH=REPO,
-        TEST_USE_PALLAS="1" if use_pallas else "0",
+        **extra,
     )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-u", str(script), str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=REPO,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
+    return env
+
+
+def _run_children(script, env_builder, n: int = 2):
+    """Launch the n-process fake cluster; retry ONCE if gloo's fixed 30 s
+    context-init deadline fires (pure infra flake: children reaching the
+    first collective far apart under host load — not a product failure)."""
+    for attempt in range(2):
+        env = env_builder()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-u", str(script), str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=REPO,
+            )
+            for i in range(n)
+        ]
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        if attempt == 0 and any("DEADLINE_EXCEEDED" in o for o in outs):
+            continue
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+    raise AssertionError(f"gloo init timed out twice: {outs}")
+
+
+def _run_pair(tmp_path, use_pallas: bool):
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    outs = _run_children(
+        script,
+        lambda: _child_env(tmp_path, _free_port(),
+                           TEST_USE_PALLAS="1" if use_pallas else "0"),
+    )
 
     results = {}
     for out in outs:
@@ -202,29 +227,14 @@ def test_two_process_cli_train(tmp_path):
     script = tmp_path / "child_cli.py"
     script.write_text(CHILD_CLI)
     run_root = tmp_path / "run"
-    port = _free_port()
-    env = dict(os.environ)
-    env.update(
-        PALLAS_AXON_POOL_IPS="",
-        JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
-        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-        JAX_NUM_PROCESSES="2",
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
-        PYTHONPATH=REPO,
-        TEST_RUN_ROOT=str(run_root),
-    )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-u", str(script), str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=REPO,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
+
+    def _env():
+        import shutil
+
+        shutil.rmtree(run_root, ignore_errors=True)  # clean slate per attempt
+        return _child_env(tmp_path, _free_port(), TEST_RUN_ROOT=str(run_root))
+
+    outs = _run_children(script, _env)
 
     results = {}
     for out in outs:
