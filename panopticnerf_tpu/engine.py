@@ -466,9 +466,9 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
     h, w = ds.images.shape[1:3]
     for view in test_ids:
         out = render(params, int(view))
-        sem, inst = ev.evaluate(out)
         if not lead:
-            continue
+            continue  # the render is the collective part; evaluate is host work
+        sem, inst = ev.evaluate(out)
         written += viz.write_view(int(view), out, (h, w), sem=sem, inst=inst)
         if sem is not None and inst is not None:
             written += viz.write_label_transfer(int(view), sem, inst, (h, w))
@@ -477,8 +477,8 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
         # (ids 2e6+ so the frames sort after the per-view outputs).
         for i, near_view, out in render_trajectory(cfg, model, params, ds,
                                                    trajectory, mesh=mesh):
-            sem_t, inst_t = ev.evaluate(out)
             if lead:
+                sem_t, inst_t = ev.evaluate(out)
                 written += viz.write_view(2_000_000 + i, out, (h, w),
                                           sem=sem_t, inst=inst_t)
         log(f"trajectory: rendered {trajectory} interpolated poses")
@@ -491,8 +491,8 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
         pano = jax.jit(
             lambda p: render_panorama(eval_model, p, ds, view, panorama_hw, cfg)
         )(params)
-        sem_p, inst_p = ev.evaluate(pano)
         if lead:
+            sem_p, inst_p = ev.evaluate(pano)
             written += viz.write_view(
                 1_000_000 + view, pano, panorama_hw, sem=sem_p, inst=inst_p
             )

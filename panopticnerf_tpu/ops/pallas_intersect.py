@@ -27,8 +27,10 @@ flips ~0.02-0.04% of interval slots whose hit test sits on a float decision
 boundary (VPU fma/reciprocal association differs from XLA's lowering; f=0
 and f>0 alike). Interpret-mode tests pin exact parity of the algorithm;
 on-hardware boundary flips are immaterial to guided sampling (stochastic
-sample placement inside intervals) and training quality is unaffected —
-eval renders default to the XLA path regardless.
+sample placement inside intervals). NOTE: eval/full-image renders also use
+this kernel when `render.use_pallas_intersect` is set (the flagship
+configs set it) — when chasing a tiny eval-metric discrepancy vs the XLA
+path on hardware, flip that key off before suspecting anything else.
 """
 
 from __future__ import annotations
@@ -155,7 +157,7 @@ def _intersect_tile(rays, prim, planes, store, *, p: int, k: int, near: float,
         work = jnp.where(sel, BIG, work)                      # remove selected
 
 
-def _kernel(rays_ref, prim_ref, meta_ref, *refs,
+def _kernel(rays_ref, prim_ref, *refs,
             p: int, k: int, near: float, far: float, f: int = 0):
     """Single-table kernel: one prim table shared by every ray tile.
     refs = (planes_ref if f else) + (tin, tout, sem, inst)."""
@@ -242,12 +244,10 @@ def intersect_rays_pallas(
     rays = jnp.zeros((_round_up(max(n, tile), tile), 128), jnp.float32)
     rays = rays.at[:n, 0:3].set(rays_o).at[:n, 3:6].set(rays_d)
 
-    meta = jnp.zeros((1, 128), jnp.float32)
-    operands = [rays, prim_rows, meta]
+    operands = [rays, prim_rows]
     in_specs = [
         pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((p_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     if f:
         operands.append(planes)

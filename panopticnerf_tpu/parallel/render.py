@@ -62,11 +62,13 @@ def render_image_rays_sharded(
 
     args = (ro_t, rd_t, iv_t) if iv is not None else (ro_t, rd_t)
     outs = lax.map(one, args)
-    # Replicate the final maps: a tiny all-gather per frame that lets every
-    # HOST read the full image (multi-host eval/visualize does host-side
-    # metric + file work on np.asarray(out.*), which requires fully
-    # replicated global arrays).
-    rep = NamedSharding(mesh, P())
-    unpad = lambda a: None if a is None else lax.with_sharding_constraint(
-        a.reshape(-1, *a.shape[2:])[:n], rep)
+    unpad = lambda a: None if a is None else a.reshape(-1, *a.shape[2:])[:n]
+    if jax.process_count() > 1:
+        # Multi-host only: replicate the final maps (a small all-gather per
+        # frame) so every HOST can np.asarray them for metric/file work.
+        # Single-host runs skip it — all shards are already addressable.
+        rep = NamedSharding(mesh, P())
+        base = unpad
+        unpad = lambda a: None if a is None else lax.with_sharding_constraint(
+            base(a), rep)
     return RenderOut(*[unpad(x) if isinstance(x, jnp.ndarray) else None for x in outs])

@@ -182,14 +182,21 @@ def _run_children(script, env_builder, n: int = 2):
             )
             for i in range(n)
         ]
-        outs = [p.communicate(timeout=420)[0] for p in procs]
+        try:
+            outs = [p.communicate(timeout=420)[0] for p in procs]
+        finally:
+            # A hung child must not leak into the rest of the session (it
+            # would hold the coordinator port and starve later gloo inits).
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         if all(p.returncode == 0 for p in procs):
             return outs
         if attempt == 0 and any("DEADLINE_EXCEEDED" in o for o in outs):
             continue
         for p, out in zip(procs, outs):
             assert p.returncode == 0, out
-    raise AssertionError(f"gloo init timed out twice: {outs}")
 
 
 def _run_pair(tmp_path, use_pallas: bool):
