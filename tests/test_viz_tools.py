@@ -126,6 +126,16 @@ def test_check_data_tool(tmp_path):
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK" in out.stdout
 
+    # KEY VALUE overrides apply even WITHOUT --cfg_file (they were once
+    # silently dropped, checking the default datasets/KITTI-360 instead)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_data.py"),
+         "data.root", root, "data.sequence", seq,
+         "data.frame_start", "102", "data.frame_num", "1"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert root in out.stdout and "OK" in out.stdout
+
 
 def test_check_data_depth_units(tmp_path):
     """Deliberately corrupted depth units (mm-as-m, m-as-uint16) are flagged

@@ -165,7 +165,10 @@ def main() -> int:
             p.error(f"unrecognized flag {tok!r}")
     args.opts = opts
 
-    if args.cfg_file:
+    if args.cfg_file or args.opts:
+        # KEY VALUE overrides apply even without --cfg_file (on the default
+        # config) — silently ignoring them sent users checking the wrong
+        # tree.
         from panopticnerf_tpu.config import load_config
 
         cfg = load_config(args.cfg_file, args.opts)
