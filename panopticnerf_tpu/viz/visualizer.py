@@ -35,6 +35,20 @@ def depth_to_color(depth: np.ndarray, d_min: float | None = None, d_max: float |
     return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
 
 
+def semantic_raw_ids(sem: np.ndarray, num_classes: int) -> np.ndarray:
+    """Map a rendered semantic map back to canonical KITTI-360 raw ids.
+
+    Models trained in trainId space (num_classes == 19) invert the
+    trainId -> id table; raw-id models pass through. Shared by the
+    per-view visualizer writes and tools/export_label_transfer.py."""
+    if num_classes == L.NUM_TRAIN_IDS:
+        train_to_id = np.zeros(L.NUM_TRAIN_IDS + 1, np.int32)
+        for t in range(L.NUM_TRAIN_IDS):
+            train_to_id[t] = L.trainId2label[t].id
+        return train_to_id[np.clip(sem, 0, L.NUM_TRAIN_IDS)]
+    return np.asarray(sem, np.int32)
+
+
 class Visualizer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -100,16 +114,9 @@ class Visualizer:
         from PIL import Image
 
         h, w = hw
-        sem = np.asarray(sem).reshape(h, w)
+        sem_raw = semantic_raw_ids(np.asarray(sem).reshape(h, w),
+                                   self.cfg.model.num_classes)
         inst = np.asarray(inst).reshape(h, w)
-        if self.cfg.model.num_classes == L.NUM_TRAIN_IDS:
-            # invert trainId -> canonical raw id
-            train_to_id = np.zeros(L.NUM_TRAIN_IDS + 1, np.int32)
-            for t in range(L.NUM_TRAIN_IDS):
-                train_to_id[t] = L.trainId2label[t].id
-            sem_raw = train_to_id[np.clip(sem, 0, L.NUM_TRAIN_IDS)]
-        else:
-            sem_raw = sem
         files = []
         p1 = os.path.join(self.out_dir, f"{view:06d}_labelsem.png")
         Image.fromarray(sem_raw.astype(np.uint8)).save(p1)

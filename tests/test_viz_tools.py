@@ -137,6 +137,100 @@ def test_check_data_tool(tmp_path):
     assert root in out.stdout and "OK" in out.stdout
 
 
+def test_export_label_transfer_roundtrip(tmp_path):
+    """tools/export_label_transfer.py writes the data_2d_semantics layout
+    the loader itself consumes: export from a (briefly) trained checkpoint,
+    point the tree's GT at the export, and the loader must read back the
+    exact predicted maps (raw ids -> trainIds; instance = enc % 1000)."""
+    import shutil
+
+    from panopticnerf_tpu.config import Config
+    from panopticnerf_tpu.data import labels as L
+    from panopticnerf_tpu.data.demo_tree import write_demo_tree
+    from panopticnerf_tpu.data.kitti360 import build_kitti360_dataset
+    from panopticnerf_tpu.engine import run_train
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import export_label_transfer as elt
+
+    root = str(tmp_path / "tree")
+    os.makedirs(root)
+    seq = write_demo_tree(root, n_frames=2, hw=(24, 32), n_boxes=3, seed=0,
+                          label_noise=0.0, depth_keep=1.0)
+    cfg = Config()
+    cfg.model_dir = str(tmp_path / "m")
+    cfg.record_dir = str(tmp_path / "r")
+    cfg.result_dir = str(tmp_path / "res")
+    cfg.data.dataset = "kitti360"
+    cfg.data.root = root
+    cfg.data.frame_num = 2
+    cfg.data.test_every = 2
+    cfg.data.max_primitives = 8
+    cfg.data.max_intervals = 4
+    cfg.data.n_rays = 64
+    cfg.data.views_per_batch = 1
+    cfg.model.num_classes = 19
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 16
+    cfg.model.color_width = 8
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 8
+    cfg.render.n_importance = 0
+    cfg.render.near = 0.5
+    cfg.render.far = 40.0
+    cfg.render.use_primitives = True
+    cfg.render.ray_tile = 128
+    cfg.train.ep_iter = 2
+    cfg.train.epochs = 1
+    cfg.train.save_ep = 1
+    cfg.train.eval_ep = 1
+    cfg.train.save_best = False
+    cfg.train.pretrain = ""
+    run_train(cfg)
+
+    out = str(tmp_path / "export")
+    files = elt.export(cfg, out)
+    assert len(files) == 4  # 2 frames x (semantic, instance)
+    assert files[0].endswith(os.path.join(
+        "train", seq, "image_00", "semantic", "0000000000.png"))
+
+    # Round-trip: replace the tree's GT with the export; the loader must
+    # read back exactly what was written.
+    from PIL import Image
+
+    sem_png = np.asarray(Image.open(files[0])).astype(np.int32)
+    enc_png = np.asarray(Image.open(files[1])).astype(np.int32)
+    np.testing.assert_array_equal(enc_png // 1000, sem_png)
+
+    dst = os.path.join(root, "data_2d_semantics")
+    shutil.rmtree(dst)
+    shutil.copytree(os.path.join(out, "train"), os.path.join(dst, "train"))
+    ds = build_kitti360_dataset(cfg)
+    want_sem = L.ID_TO_TRAINID[np.clip(sem_png, 0, L.NUM_IDS - 1)]
+    np.testing.assert_array_equal(np.asarray(ds.gt_sem[0]), want_sem)
+    np.testing.assert_array_equal(np.asarray(ds.gt_inst[0]), enc_png % 1000)
+
+    # CLI surface: KEY VALUE overrides + --zip
+    out2 = str(tmp_path / "export_cli")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_label_transfer.py"),
+         "--out", out2, "--zip",
+         "data.dataset", "kitti360", "data.root", root,
+         "data.frame_num", "2", "data.test_every", "2",
+         "data.max_primitives", "8", "data.max_intervals", "4",
+         "model.num_classes", "19", "model.trunk_depth", "2",
+         "model.trunk_width", "16", "model.color_width", "8",
+         "model.compute_dtype", "float32", "render.n_samples", "8",
+         "render.n_importance", "0", "render.near", "0.5",
+         "render.far", "40.0", "render.ray_tile", "128",
+         "model_dir", cfg.model_dir],
+        capture_output=True, text=True,
+        env={**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": REPO})
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert os.path.exists(out2 + ".zip")
+
+
 def test_check_data_depth_units(tmp_path):
     """Deliberately corrupted depth units (mm-as-m, m-as-uint16) are flagged
     by the value check; the healthy fixture tree passes it."""
