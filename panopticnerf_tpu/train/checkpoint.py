@@ -16,10 +16,16 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+def _manager(directory: str, max_to_keep: int = 3,
+             create: bool = True) -> ocp.CheckpointManager:
+    """create=False for READ paths: a probing load (e.g. `train.eval_step
+    -1` before any best was saved) must not litter empty checkpoint roots —
+    an empty `<exp>_best/` dir would also shadow the legacy-location
+    fallback in engine._restore_for_eval."""
     return ocp.CheckpointManager(
         os.path.abspath(directory),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=create),
     )
 
 
@@ -34,7 +40,7 @@ def save_model(state, directory: str, step: int, max_to_keep: int = 3) -> None:
 def latest_step(directory: str) -> Optional[int]:
     if not os.path.isdir(directory):
         return None
-    mgr = _manager(directory)
+    mgr = _manager(directory, create=False)
     step = mgr.latest_step()
     mgr.close()
     return step
@@ -43,7 +49,9 @@ def latest_step(directory: str) -> Optional[int]:
 def load_model(state_template, directory: str, step: Optional[int] = None):
     """Restore a full TrainState; returns (state, step) or (template, None)
     when no checkpoint exists (reference `resume` semantics)."""
-    mgr = _manager(directory)
+    if not os.path.isdir(directory):
+        return state_template, None
+    mgr = _manager(directory, create=False)
     target = step if step is not None else mgr.latest_step()
     if target is None:
         mgr.close()
@@ -64,7 +72,9 @@ def load_network(params_template, directory: str, step: Optional[int] = None,
     """
     import logging
 
-    mgr = _manager(directory)
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    mgr = _manager(directory, create=False)
     target = step if step is not None else mgr.latest_step()
     if target is None:
         mgr.close()

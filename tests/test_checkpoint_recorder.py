@@ -154,3 +154,27 @@ def test_warm_start_partial_merge(tmp_path):
     # strict mode still fails loudly on topology mismatch
     with pytest.raises(Exception):
         load_network(p2, d, strict=True)
+
+
+def test_read_paths_do_not_create_directories(tmp_path):
+    """Probing loads (resume on a fresh run, `train.eval_step -1` before a
+    best exists) must not litter empty checkpoint roots: an empty
+    `<exp>_best/` would shadow engine._restore_for_eval's legacy-location
+    fallback on the next attempt."""
+    import os
+
+    import pytest
+
+    from panopticnerf_tpu.train.checkpoint import (
+        latest_step,
+        load_model,
+        load_network,
+    )
+
+    missing = str(tmp_path / "never_saved")
+    assert latest_step(missing) is None
+    state, step = load_model(None, missing)
+    assert state is None and step is None
+    with pytest.raises(FileNotFoundError):
+        load_network(None, missing)
+    assert not os.path.exists(missing)
