@@ -25,6 +25,13 @@ from panopticnerf_tpu.train.checkpoint import load_model, load_network, save_mod
 from panopticnerf_tpu.train.recorder import Recorder
 
 
+def _lead_log(log):
+    """(is_lead, log') — multi-host host-side policy in one place: every
+    process runs the SPMD programs, process 0 owns console + files."""
+    lead = jax.process_index() == 0
+    return lead, (log if lead else lambda *a, **k: None)
+
+
 def _build(cfg: Config):
     ds, train_ids, test_ids = make_dataset(cfg)
     model = make_network(cfg)
@@ -141,9 +148,7 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
     while host-side side effects (recorder streams, the best-metric
     sidecar, console lines) belong to process 0 only.
     """
-    lead = jax.process_index() == 0
-    if not lead:
-        log = lambda *a, **k: None  # noqa: E731 — lead host owns the console
+    lead, log = _lead_log(log)
     ds, train_ids, test_ids, model, state = _build(cfg)
     step_fn = _make_step(cfg, model, log=log)
 
@@ -356,8 +361,7 @@ def run_evaluate(cfg: Config, log=print) -> dict:
     measured on the manually-annotated frames (which belong to the training
     sequence — the task IS annotating it); PSNR additionally on the held-out
     test views."""
-    if jax.process_index() != 0:
-        log = lambda *a, **k: None  # noqa: E731
+    _, log = _lead_log(log)
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
     ev = make_evaluator(cfg)
     mesh = _eval_mesh(cfg)
@@ -454,9 +458,7 @@ def run_visualize(cfg: Config, log=print, panorama_hw: tuple | None = None,
 
     # Multi-host: every process renders (the sharded render is a collective
     # program) but only process 0 writes files.
-    lead = jax.process_index() == 0
-    if not lead:
-        log = lambda *a, **k: None  # noqa: E731
+    lead, log = _lead_log(log)
     ds, test_ids, model, params, step = _restore_for_eval(cfg)
     viz = Visualizer(cfg)
     ev = make_evaluator(cfg)

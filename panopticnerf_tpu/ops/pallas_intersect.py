@@ -177,11 +177,9 @@ def _kernel(rays_ref, prim_ref, *refs,
 def _kernel_grouped(rays_ref, prim_ref, *refs,
                     p: int, k: int, near: float, far: float, f: int = 0):
     """Grouped kernel: blocks carry a leading singleton GROUP dim — the
-    group axis is a real grid dimension (grid (G, M/T)), NOT a vmap over
-    pallas_call. vmap folds the batch into the kernel block, multiplying
-    every internal (T, P) temp by G; with the unrolled cut-plane loop that
-    overflowed the 16 MB scoped-VMEM window at stress scale (G=8, F=8:
-    44 MB requested). As a grid dim, VMEM stays bounded by one tile."""
+    group axis is a real grid dimension (grid (G, M/T)), never a vmap over
+    pallas_call, which would fold G into the block and multiply every
+    internal temp by G (the scoped-VMEM story lives in _cap_tile)."""
     planes = refs[0][0] if f else None
     tin_ref, tout_ref, sem_ref, inst_ref = refs[1:] if f else refs
 

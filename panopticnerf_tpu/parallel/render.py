@@ -62,13 +62,13 @@ def render_image_rays_sharded(
 
     args = (ro_t, rd_t, iv_t) if iv is not None else (ro_t, rd_t)
     outs = lax.map(one, args)
-    unpad = lambda a: None if a is None else a.reshape(-1, *a.shape[2:])[:n]
-    if jax.process_count() > 1:
-        # Multi-host only: replicate the final maps (a small all-gather per
-        # frame) so every HOST can np.asarray them for metric/file work.
-        # Single-host runs skip it — all shards are already addressable.
-        rep = NamedSharding(mesh, P())
-        base = unpad
-        unpad = lambda a: None if a is None else lax.with_sharding_constraint(
-            base(a), rep)
+    # Multi-host only: replicate the final maps (a small all-gather per
+    # frame) so every HOST can np.asarray them for metric/file work.
+    # Single-host runs skip it — all shards are already addressable.
+    rep = NamedSharding(mesh, P()) if jax.process_count() > 1 else None
+
+    def unpad(a):
+        a = a.reshape(-1, *a.shape[2:])[:n]
+        return a if rep is None else lax.with_sharding_constraint(a, rep)
+
     return RenderOut(*[unpad(x) if isinstance(x, jnp.ndarray) else None for x in outs])
