@@ -186,6 +186,54 @@ def test_fisheye_streams_consistent(tmp_path):
     assert agree > 0.95, f"fisheye fixed/pseudo agreement {agree:.3f}"
 
 
+def test_joint_fisheye_step_with_both_pallas_kernels(tmp_path):
+    """The kitti360_360 execution path — grouped mixed perspective+fisheye
+    batches — with BOTH Pallas kernels on must reproduce the XLA step's
+    numerics (the -360 config ships with use_pallas + use_pallas_intersect;
+    the kernels take world rays / points, so camera model is irrelevant to
+    them, but this pins the full joint step end to end)."""
+    import jax
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.models import init_params, make_network
+    from panopticnerf_tpu.train import make_train_state, make_train_step
+
+    root = str(tmp_path / "fe360")
+    os.makedirs(root)
+    write_demo_tree(root, n_frames=2, hw=(32, 48), n_boxes=4, seed=3,
+                    label_noise=0.0, fisheye=True)
+    cfg = _cfg(root)
+    cfg.data.frame_num = 2
+    cfg.data.use_fisheye = True
+    cfg.data.n_rays = 64
+    cfg.data.views_per_batch = 2
+    cfg.model.trunk_depth = 3
+    cfg.model.trunk_width = 32
+    cfg.model.color_width = 16
+    cfg.model.skips = (1,)
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 8
+    ds = build_kitti360_dataset(cfg)
+    assert np.asarray(ds.cam_model).max() == 1  # fisheye views present
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    key = jax.random.key(7)
+    vids = jnp.arange(ds.images.shape[0])
+
+    s_ref = make_train_state(cfg, model, params)
+    stats_ref = make_train_step(cfg, model, donate=False)(s_ref, ds, vids, key)[1]
+
+    cfg.model.use_pallas = True
+    cfg.render.use_pallas_intersect = True
+    s_pal = make_train_state(cfg, model, params)
+    stats_pal = make_train_step(cfg, model, donate=False)(s_pal, ds, vids, key)[1]
+
+    assert np.isfinite(float(stats_pal["loss_total"]))
+    np.testing.assert_allclose(
+        float(stats_pal["loss_total"]), float(stats_ref["loss_total"]), rtol=1e-4
+    )
+
+
 def test_pseudo_label_noise_and_gt_instances(demo_root, tmp_path):
     root = str(tmp_path / "noisy")
     os.makedirs(root)
