@@ -228,6 +228,13 @@ class TrainConfig:
     # test views. A 2-view eval makes the "best" metric itself noisy on
     # noisy pseudo-labels, so default to a wider sample.
     eval_views: int = 8
+    # Polyak/EMA weight averaging (0 = off). When set, the train step keeps
+    # an exponential moving average of the params (warmup-corrected) and
+    # every eval — in-train save_best selection, run.py evaluate/visualize —
+    # renders with the EMA weights. Complements save_best on the documented
+    # noisy-pseudo-label metric decay: selection picks a step, EMA smooths
+    # within one. Typical value 0.999 at flagship step counts.
+    ema_decay: float = 0.0
     seed: int = 0
 
 

@@ -21,6 +21,7 @@ from panopticnerf_tpu.models import init_params, make_network
 from panopticnerf_tpu.ops import intersect_rays
 from panopticnerf_tpu.render import SceneBounds, render_image_rays
 from panopticnerf_tpu.train import make_train_state, make_train_step
+from panopticnerf_tpu.train.step import eval_params
 from panopticnerf_tpu.train.checkpoint import load_model, load_network, save_model
 from panopticnerf_tpu.train.recorder import Recorder
 
@@ -179,7 +180,13 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
         # narrower pretrained one; unmatched subtrees keep fresh init.
         params, init_step = load_network(state.params, cfg.train.init_from,
                                          strict=False)
-        state = state.replace(params=params)
+        # Re-seed the EMA at the warm-started weights (an average anchored
+        # to the fresh init would drag evals toward random weights). Copy,
+        # don't alias: the step donates the state (see make_train_state).
+        state = state.replace(
+            params=params,
+            ema_params=(jax.tree.map(jnp.copy, params)
+                        if state.ema_params is not None else None))
         log(f"warm-started params from {cfg.train.init_from} (step {init_step})")
     if cfg.train.resume:
         state, restored = load_model(state, ckpt_dir)
@@ -282,7 +289,7 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
             if (step + 1) % (tc.save_ep * tc.ep_iter) == 0 or step + 1 == total_steps:
                 save_model(state, ckpt_dir, step + 1)
             if (step + 1) % (tc.eval_ep * tc.ep_iter) == 0:
-                res = _eval_now(state.params)
+                res = _eval_now(eval_params(state))
                 log(f"eval@{step + 1}: " + ", ".join(
                     f"{k}={v:.3f}" for k, v in res.items() if np.isscalar(v)))
                 # Metric-selected checkpoint (train.save_best): when instances
@@ -352,7 +359,8 @@ def _restore_for_eval(cfg: Config):
             if os.path.isdir(legacy):
                 directory = legacy
         want = None
-    params, step = load_network(state.params, directory, step=want)
+    params, step = load_network(state.params, directory, step=want,
+                                prefer_ema=cfg.train.ema_decay > 0)
     return ds, test_ids, model, params, step
 
 

@@ -22,7 +22,7 @@ from panopticnerf_tpu.data.dataset import DeviceDataset, batch_intervals, sample
 from panopticnerf_tpu.parallel.mesh import replicated
 from panopticnerf_tpu.render.renderer import SceneBounds, render_rays
 from panopticnerf_tpu.train.loss import compute_losses
-from panopticnerf_tpu.train.step import TrainState, resolve_train_model
+from panopticnerf_tpu.train.step import TrainState, ema_update, resolve_train_model
 
 
 def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True):
@@ -186,7 +186,8 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
                 return compute_losses(out, batch, cfg, sem_scale=sem_scale)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads=grads)
+        new_state = ema_update(state.apply_gradients(grads=grads),
+                               cfg.train.ema_decay)
         stats["grad_norm"] = optax.global_norm(grads)
         return new_state, stats
 

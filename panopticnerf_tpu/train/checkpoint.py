@@ -62,13 +62,15 @@ def load_model(state_template, directory: str, step: Optional[int] = None):
 
 
 def load_network(params_template, directory: str, step: Optional[int] = None,
-                 strict: bool = True):
+                 strict: bool = True, prefer_ema: bool = False):
     """Weights-only restore (reference `load_network`).
 
     strict=True (evaluation): checkpoint topology must match the model —
     a config/checkpoint mismatch fails loudly instead of silently
     evaluating half-fresh weights. strict=False (warm start): partial
     merge — see _merge_params.
+    prefer_ema=True (train.ema_decay runs): restore the checkpoint's
+    Polyak-averaged weights when it carries them, the raw params otherwise.
     """
     import logging
 
@@ -92,6 +94,8 @@ def load_network(params_template, directory: str, step: Optional[int] = None,
         absl_log.setLevel(prev)
         mgr.close()
     params = restored["params"]
+    if prefer_ema and restored.get("ema_params"):
+        params = restored["ema_params"]
     if params_template is not None:
         if strict:
             params = jax.tree.map(lambda t, x: x.astype(t.dtype),

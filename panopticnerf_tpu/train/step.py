@@ -23,7 +23,36 @@ from panopticnerf_tpu.train.loss import compute_losses
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState (params/opt/step); apply_fn = model.apply."""
+    """flax TrainState (params/opt/step); apply_fn = model.apply.
+
+    ema_params: Polyak average of params (train.ema_decay > 0), used by
+    every eval path; None when EMA is off (absent from the pytree, so
+    checkpoints and meshes are unaffected by the default).
+    """
+
+    ema_params: object = None
+
+
+def ema_update(state: "TrainState", decay: float) -> "TrainState":
+    """One EMA step on state.ema_params (no-op when EMA is off).
+
+    Warmup-corrected: effective decay min(decay, (1+t)/(10+t)) so the
+    average tracks closely at the start instead of clinging to the init
+    (the standard TF/objax rule; t = post-update step count).
+    """
+    if state.ema_params is None:
+        return state
+    t = state.step.astype(jnp.float32)
+    d = jnp.minimum(decay, (1.0 + t) / (10.0 + t))
+    new_ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                           state.ema_params, state.params)
+    return state.replace(ema_params=new_ema)
+
+
+def eval_params(state: "TrainState"):
+    """Weights every eval path should render with (EMA when tracked)."""
+    ema = getattr(state, "ema_params", None)
+    return state.params if ema is None else ema
 
 
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
@@ -49,7 +78,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_state(cfg: Config, model, params) -> TrainState:
-    return TrainState.create(apply_fn=model.apply, params=params, tx=make_optimizer(cfg))
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=make_optimizer(cfg),
+        # jnp.copy: the EMA starts at the params but must not ALIAS them —
+        # the train loop donates the state, and a buffer referenced by two
+        # donated leaves breaks donation on device backends.
+        ema_params=(jax.tree.map(jnp.copy, params)
+                    if cfg.train.ema_decay > 0 else None),
+    )
 
 
 def resolve_train_model(cfg: Config, model):
@@ -118,7 +154,8 @@ def make_train_step(cfg: Config, model, donate: bool = True):
             return compute_losses(out, batch, cfg, sem_scale=sem_scale)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads=grads)
+        new_state = ema_update(state.apply_gradients(grads=grads),
+                               cfg.train.ema_decay)
         stats["grad_norm"] = optax.global_norm(grads)
         return new_state, stats
 

@@ -125,6 +125,38 @@ def test_save_best_and_eval_step_best(tmp_path):
     assert any("ckpt step" in l for l in logs)
 
 
+def test_ema_through_engine_paths(tmp_path):
+    """train.ema_decay end to end: the in-train eval + save_best select on
+    EMA weights, run_evaluate restores them (prefer_ema), and a warm start
+    re-seeds the average at the loaded weights (not the fresh init)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.exp_name = "emarun"
+    cfg.train.ema_decay = 0.9
+    cfg.train.eval_ep = 1           # trigger the in-train EMA eval path
+    logs = []
+    res = run_train(cfg, max_steps=20, log=logs.append)
+    assert res["state"].ema_params is not None
+    assert any("eval@" in l for l in logs)
+
+    ev = run_evaluate(cfg, log=logs.append)   # prefer_ema restore
+    assert "psnr" in ev
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.exp_name = "emawarm"
+    cfg2.train.ema_decay = 0.9
+    cfg2.train.init_from = cfg.trained_model_dir
+    logs2 = []
+    res2 = run_train(cfg2, max_steps=3, log=logs2.append)
+    assert any("warm-started" in l for l in logs2)
+    # after 3 warmup-corrected steps the average must sit near the warm
+    # weights, far from anything a fresh-init anchor would produce
+    import jax
+
+    p = np.asarray(jax.tree.leaves(res2["state"].params)[0])
+    e = np.asarray(jax.tree.leaves(res2["state"].ema_params)[0])
+    assert np.abs(e - p).max() < 0.05
+
+
 def test_engine_routes_through_mesh_when_multidevice(tmp_path):
     """run_train auto-dispatches to the mesh-parallel pjit step when more
     than one device is visible (8 virtual CPU devices in tests)."""
