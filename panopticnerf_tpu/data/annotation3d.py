@@ -58,6 +58,12 @@ class Bbox3D:
     ordinal: int = -1
 
 
+def _cross2(a: np.ndarray, b: np.ndarray) -> float:
+    """Scalar z-component of the 2-D cross product (np.cross on 2-vectors
+    is deprecated since NumPy 2.0)."""
+    return float(a[0] * b[1] - a[1] * b[0])
+
+
 def _monotone_chain_hull(pts: np.ndarray) -> np.ndarray:
     """2D convex hull (CCW) via Andrew's monotone chain; pts (M, 2)."""
     pts = np.unique(np.round(pts, 9), axis=0)
@@ -126,16 +132,16 @@ def _reduce_hull_circumscribe(hull: np.ndarray, max_sides: int) -> np.ndarray:
             a0, a1 = hull[i - 1], hull[i]              # edge before
             b0, b1 = hull[(i + 1) % m], hull[(i + 2) % m]  # edge after
             da, db = a1 - a0, b1 - b0
-            denom = float(np.cross(da, db))
+            denom = _cross2(da, db)
             if denom < 1e-12:
                 continue  # neighbours parallel: no finite extension point
             r = b0 - a0
-            t = float(np.cross(r, db)) / denom
-            s = float(np.cross(r, da)) / denom
+            t = _cross2(r, db) / denom
+            s = _cross2(r, da) / denom
             if t < 1.0 - 1e-9 or s > 1e-9:
                 continue  # intersection does not extend both edges outward
             x = a0 + t * da
-            cost = abs(float(np.cross(x - a1, b0 - a1))) / 2.0
+            cost = abs(_cross2(x - a1, b0 - a1)) / 2.0
             if cost < best_cost:
                 best, best_cost, best_x = i, cost, x
         if best is None:
@@ -226,10 +232,10 @@ def _is_simple_polygon(ring: np.ndarray) -> bool:
     n = len(ring)
 
     def _proper(p1, p2, p3, p4) -> bool:
-        d1 = np.cross(p4 - p3, p1 - p3)
-        d2 = np.cross(p4 - p3, p2 - p3)
-        d3 = np.cross(p2 - p1, p3 - p1)
-        d4 = np.cross(p2 - p1, p4 - p1)
+        d1 = _cross2(p4 - p3, p1 - p3)
+        d2 = _cross2(p4 - p3, p2 - p3)
+        d3 = _cross2(p2 - p1, p3 - p1)
+        d4 = _cross2(p2 - p1, p4 - p1)
         return bool(((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)))
 
     for i in range(n):
@@ -245,7 +251,7 @@ def _is_convex_ccw(ring: np.ndarray, eps: float = 1e-9) -> bool:
     n = len(ring)
     for i in range(n):
         a, b, c = ring[i - 1], ring[i], ring[(i + 1) % n]
-        if np.cross(b - a, c - b) < -eps:
+        if _cross2(b - a, c - b) < -eps:
             return False
     return True
 
@@ -253,9 +259,9 @@ def _is_convex_ccw(ring: np.ndarray, eps: float = 1e-9) -> bool:
 def _point_in_tri(p, a, b, c, eps: float = 1e-12) -> bool:
     """Strict interior (plus boundary within eps) test for a CCW triangle."""
     return (
-        np.cross(b - a, p - a) > -eps
-        and np.cross(c - b, p - b) > -eps
-        and np.cross(a - c, p - c) > -eps
+        _cross2(b - a, p - a) > -eps
+        and _cross2(c - b, p - b) > -eps
+        and _cross2(a - c, p - c) > -eps
     )
 
 
@@ -268,7 +274,7 @@ def _ear_clip(ring: np.ndarray) -> Optional[list[tuple[int, int, int]]]:
         for k in range(m):
             i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % m]
             a, b, c = ring[i0], ring[i1], ring[i2]
-            if np.cross(b - a, c - b) <= 1e-12:
+            if _cross2(b - a, c - b) <= 1e-12:
                 continue  # reflex or collinear: not an ear
             if any(
                 _point_in_tri(ring[j], a, b, c)
@@ -322,7 +328,7 @@ def _merge_convex_pieces(ring: np.ndarray, pieces: list[list[int]]) -> list[list
         keep = [
             k
             for k in range(len(piece))
-            if abs(np.cross(poly[k] - poly[k - 1], poly[(k + 1) % len(piece)] - poly[k]))
+            if abs(_cross2(poly[k] - poly[k - 1], poly[(k + 1) % len(piece)] - poly[k]))
             > 1e-12
         ]
         out.append([piece[k] for k in keep] if len(keep) >= 3 else piece)

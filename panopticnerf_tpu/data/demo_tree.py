@@ -315,8 +315,11 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
                     f"{d1}/{fr:010d}.png")
                 inst_map = sem_raw.astype(np.int64) * 1000
                 inst_map[hit] += box_inst[idx[hit]]
-                Image.fromarray(inst_map.reshape(h, w).astype(np.int32),
-                                mode="I").save(f"{d2}/{fr:010d}.png")
+                # uint16 ("I;16") matches the real KITTI-360 instance PNGs
+                # (semantic*1000+instance <= ~45k fits) and avoids Pillow's
+                # deprecated mode-"I" PNG save path.
+                Image.fromarray(inst_map.reshape(h, w).astype(np.uint16)
+                                ).save(f"{d2}/{fr:010d}.png")
 
         if fisheye:
             # left fisheye from the cam0 pose (identity c2p, IMU pose =

@@ -89,10 +89,15 @@ class Evaluator:
 
     def summarize(self) -> dict:
         result = {}
-        if self.psnrs:
-            result["psnr"] = float(np.mean(self.psnrs))
-        if self.ssims:
-            result["ssim"] = float(np.nanmean(self.ssims))
+        psnrs = [p for p in self.psnrs if np.isfinite(p)]
+        if psnrs:
+            result["psnr"] = float(np.mean(psnrs))
+        # ssim() returns nan for frames with no valid 11x11 window (image
+        # smaller than the window / fully-masked fisheye crop) — skip them
+        # instead of nanmean'ing a possibly all-nan list (RuntimeWarning).
+        ssims = [s for s in self.ssims if np.isfinite(s)]
+        if ssims:
+            result["ssim"] = float(np.mean(ssims))
         if self.depth_sums["n"] > 0:
             result.update(metrics.depth_from_sums(self.depth_sums))
         if self.cm.sum() > 0:

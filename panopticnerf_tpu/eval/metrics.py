@@ -215,6 +215,8 @@ def ssim(pred: np.ndarray, gt: np.ndarray,
             / ((mu_p ** 2 + mu_g ** 2 + c1) * (var_p + var_g + c2)))
     # 'valid' windows only (the constant-pad ring is not a real window)
     smap = smap[half:-half, half:-half]
+    if smap.size == 0:  # image smaller than the 11x11 window: no valid windows
+        return float("nan")
     if mask is not None:
         m = np.asarray(mask, bool)[half:-half, half:-half]
         if not m.any():

@@ -159,7 +159,8 @@ def test_decompose_extrusion_l_shape_exact():
             p2 = p3[others]
             m = len(poly)
             if all(
-                np.cross(poly[(i + 1) % m] - poly[i], p2 - poly[i]) >= -1e-9
+                float((lambda e, q: e[0] * q[1] - e[1] * q[0])(
+                    poly[(i + 1) % m] - poly[i], p2 - poly[i])) >= -1e-9
                 for i in range(m)
             ):
                 return True

@@ -168,7 +168,7 @@ def make_fake_kitti(root):
         inst = sem.astype(np.int32) * 1000
         inst[5:10, 5:10] += 1
         Image.fromarray(sem).save(f"{d1}/{fr:010d}.png")
-        Image.fromarray(inst.astype(np.int32), mode="I").save(f"{d2}/{fr:010d}.png")
+        Image.fromarray(inst.astype(np.uint16)).save(f"{d2}/{fr:010d}.png")
     return seq
 
 

@@ -68,7 +68,8 @@ def export(cfg, out_dir: str, log=print) -> list[str]:
         Image.fromarray(sem_raw.astype(np.uint8)).save(p1)
         enc = sem_raw.astype(np.int32) * 1000 + (np.asarray(inst).reshape(h, w) % 1000)
         p2 = os.path.join(inst_dir, f"{frame:010d}.png")
-        Image.fromarray(enc.astype(np.int32)).save(p2)  # PIL mode I (32-bit)
+        # uint16 like the real data_2d_semantics instance PNGs (<= ~45k fits)
+        Image.fromarray(enc.astype(np.uint16)).save(p2)
         written += [p1, p2]
     log(f"exported {len(written)} label-transfer maps (ckpt step {step}) "
         f"under {out_dir}")
