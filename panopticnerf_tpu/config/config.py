@@ -188,6 +188,19 @@ class LossConfig:
     # Panoptic fusion at eval: blend of learned softmax vs normalized fixed
     # field before the argmax (0 = learned only, 1 = fixed only).
     eval_fixed_blend: float = 0.5
+    # Late-stage self-agreement demotion (the "-360 improved filtering"
+    # axis, SURVEY.md §1): after agree_start * max_steps, a pixel's pseudo-
+    # label stops supervising the learned field when the learned field
+    # CONFIDENTLY predicts a different class (softmax > agree_conf) and the
+    # fixed field does not back the pseudo-label (no primitive on the ray,
+    # or the fixed argmax also disagrees). This reaches exactly where the
+    # consistency filter is blind — no-primitive (sky) pixels with noisy
+    # pseudo-labels — and only once the field has converged enough to be
+    # trusted, preventing the late-training PQ decay. Default off
+    # (reference-parity loss stack); ablated in BASELINE.md round 4.
+    agree_filter: bool = False
+    agree_conf: float = 0.9
+    agree_start: float = 0.5       # fraction of train.max_steps
 
 
 @dataclass

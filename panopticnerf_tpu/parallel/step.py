@@ -95,6 +95,7 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
     pallas_interpret = jax.default_backend() == "cpu"
     sem_gate = cfg.train.pretrain == "nerf"
     pretrain_steps = cfg.train.pretrain_steps
+    agree_start_step = int(cfg.loss.agree_start * cfg.train.max_steps)
     rays_spec = jax.sharding.NamedSharding(mesh, P(axis))
 
     def shard_rays(tree):
@@ -122,6 +123,10 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
             else None
         )
         sem_scale = jnp.where(state.step < pretrain_steps, 0.0, 1.0) if sem_gate else 1.0
+        agree_on = (
+            jnp.where(state.step >= agree_start_step, 1.0, 0.0)
+            if cfg.loss.agree_filter else 0.0
+        )
         bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
 
         if use_shard_map:
@@ -134,7 +139,9 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
             b_specs = type(batch)(*([ray] * len(batch)))
             iv_specs = type(iv)(*([ray] * len(iv))) if iv is not None else None
 
-            def local_loss(params, b, ivx, bnds, k_r, s_scale, dsx=None):
+            # scales = [sem_scale, agree_on] as ONE replicated (2,) operand
+            # so the shard_map specs stay unchanged as gates are added.
+            def local_loss(params, b, ivx, bnds, k_r, scales, dsx=None):
                 # decorrelate per-device stratified jitter
                 k_loc = jax.random.fold_in(k_r, jax.lax.axis_index(axis))
                 if dsx is not None:
@@ -148,10 +155,11 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
                         use_pallas=True, pallas_interpret=pallas_interpret)
                 out = render_rays(model, params, b.rays_o, b.rays_d, bnds,
                                   k_loc, cfg, iv=ivx, train=True)
-                return compute_losses(out, b, cfg, sem_scale=s_scale,
-                                      axis_name=axis)
+                return compute_losses(out, b, cfg, sem_scale=scales[0],
+                                      axis_name=axis, agree_on=scales[1])
 
-            s_arr = jnp.asarray(sem_scale, jnp.float32)
+            s_arr = jnp.stack([jnp.asarray(sem_scale, jnp.float32),
+                               jnp.asarray(agree_on, jnp.float32)])
             if intersect_in_region:
                 ds_specs = jax.tree.map(lambda _: P(), ds)
                 smap = jax.shard_map(
@@ -183,7 +191,8 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
                     model, params, batch.rays_o, batch.rays_d, bounds,
                     k_render, cfg, iv=iv, train=True,
                 )
-                return compute_losses(out, batch, cfg, sem_scale=sem_scale)
+                return compute_losses(out, batch, cfg, sem_scale=sem_scale,
+                                      agree_on=agree_on)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = ema_update(state.apply_gradients(grads=grads),

@@ -71,12 +71,17 @@ def compute_losses(
     cfg: Config,
     sem_scale: jnp.ndarray | float = 1.0,
     axis_name: str | None = None,
+    agree_on: jnp.ndarray | float = 0.0,
 ):
     """Returns (total_loss, stats dict of scalars).
 
     With `axis_name` (inside shard_map over a mesh axis), every reduction
     is the exact GLOBAL value — loss, grads, and stats match the
     single-device computation bitwise for the same global batch.
+
+    `agree_on` is the traced 0/1 activation of the late-stage
+    self-agreement demotion (loss.agree_filter; the step computes it from
+    state.step >= agree_start * max_steps so one jit serves both phases).
     """
     lc = cfg.loss
     num_classes = cfg.model.num_classes
@@ -137,6 +142,30 @@ def compute_losses(
             total = total + sem_scale * lc.fix2d_weight * l_fix
     else:
         keep = has_pseudo
+
+    if lc.agree_filter and out.sem_logits is not None and lc.sem2d_weight > 0:
+        # Late-stage self-agreement demotion (loss.agree_filter): drop a
+        # pseudo-label from the learned-field supervision when the learned
+        # field confidently predicts a different class AND the fixed field
+        # does not back the pseudo-label. Covers exactly the no-primitive
+        # (sky) pixels the consistency filter exempts. stop_gradient: the
+        # gate must not backprop into the prediction it reads.
+        probs = jax.nn.softmax(jax.lax.stop_gradient(out.sem_logits), axis=-1)
+        overrule = (
+            (jnp.argmax(probs, axis=-1) != batch.pseudo)
+            & (jnp.max(probs, axis=-1) > lc.agree_conf)
+        )
+        if out.sem_fixed is not None:
+            lab_a = jnp.clip(batch.pseudo, 0, num_classes - 1)
+            has_prims_a = jnp.sum(out.sem_fixed, axis=-1) > 1e-6
+            fixed_backs_pseudo = has_prims_a & (
+                jnp.argmax(out.sem_fixed, axis=-1) == lab_a
+            )
+            overrule = overrule & ~fixed_backs_pseudo
+        demote = overrule & (jnp.asarray(agree_on, jnp.float32) > 0)
+        keep = keep & ~demote
+        stats["agree_demote_frac"] = _mm(
+            demote.astype(jnp.float32), jnp.ones_like(demote))
 
     if out.sem_logits is not None and lc.sem2d_weight > 0:
         ce2d = cross_entropy_logits(out.sem_logits, batch.pseudo)

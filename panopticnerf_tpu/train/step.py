@@ -123,6 +123,7 @@ def make_train_step(cfg: Config, model, donate: bool = True):
     pallas_interpret = jax.default_backend() == "cpu"
     sem_gate = cfg.train.pretrain == "nerf"
     pretrain_steps = cfg.train.pretrain_steps
+    agree_start_step = int(cfg.loss.agree_start * cfg.train.max_steps)
     bounds_of = lambda ds: SceneBounds(ds.bounds_center, ds.bounds_scale)
 
     def step_fn(state: TrainState, ds: DeviceDataset, view_ids, key):
@@ -145,13 +146,18 @@ def make_train_step(cfg: Config, model, donate: bool = True):
         sem_scale = (
             jnp.where(state.step < pretrain_steps, 0.0, 1.0) if sem_gate else 1.0
         )
+        agree_on = (
+            jnp.where(state.step >= agree_start_step, 1.0, 0.0)
+            if cfg.loss.agree_filter else 0.0
+        )
 
         def loss_fn(params):
             out = render_rays(
                 model, params, batch.rays_o, batch.rays_d, bounds_of(ds),
                 k_render, cfg, iv=iv, train=True,
             )
-            return compute_losses(out, batch, cfg, sem_scale=sem_scale)
+            return compute_losses(out, batch, cfg, sem_scale=sem_scale,
+                                  agree_on=agree_on)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = ema_update(state.apply_gradients(grads=grads),

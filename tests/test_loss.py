@@ -176,3 +176,53 @@ def test_ce_helpers():
     probs = jnp.asarray([[0.2, 0.8, 0.0]])
     assert float(cross_entropy_probs(probs, jnp.asarray([1]))[0]) == pytest.approx(
         -np.log(0.8), rel=1e-4)
+
+
+def test_agree_filter_demotes_confident_disagreement():
+    """Late-stage self-agreement gate (loss.agree_filter): a confidently
+    contradicted pseudo-label stops supervising the learned field, but only
+    when agree_on=1 and the fixed field doesn't back the pseudo-label."""
+    cfg = _cfg(sem2d_weight=1.0, fix2d_weight=0.0, sem3d_weight=0.0,
+               depth_weight=0.0, rgb_weight=0.0, pseudo_filter=False,
+               agree_filter=True, agree_conf=0.9)
+    # 3 no-primitive rays: logits confidently predict class 0
+    logits = jnp.zeros((3, 4)).at[:, 0].set(20.0)
+    out = _out(3, sem_fixed=jnp.zeros((3, 4)), sem_logits=logits)
+    # pseudo: ray0 agrees (0), rays 1-2 disagree (class 2) = noise
+    batch = _batch(3, [0, 2, 2])
+    l_off, s_off = compute_losses(out, batch, cfg, agree_on=0.0)
+    l_on, s_on = compute_losses(out, batch, cfg, agree_on=1.0)
+    # gate off: the 2 noisy labels dominate the CE
+    assert float(l_off) > 5.0
+    # gate on: only the agreeing label supervises -> CE ~ 0
+    assert float(l_on) < 1e-3
+    assert float(s_on["agree_demote_frac"]) == pytest.approx(2 / 3)
+    assert float(s_off["agree_demote_frac"]) == pytest.approx(0.0)
+
+
+def test_agree_filter_respects_fixed_field_backing():
+    """Where the FIXED field agrees with the pseudo-label (3D evidence backs
+    the 2D label), the learned field may not overrule it."""
+    cfg = _cfg(sem2d_weight=1.0, fix2d_weight=0.0, sem3d_weight=0.0,
+               depth_weight=0.0, rgb_weight=0.0, pseudo_filter=False,
+               agree_filter=True, agree_conf=0.9)
+    logits = jnp.zeros((2, 4)).at[:, 0].set(20.0)   # learned insists class 0
+    # fixed field puts its mass on class 2 for ray 0 only
+    sem_fixed = jnp.zeros((2, 4)).at[0, 2].set(0.9)
+    out = _out(2, sem_fixed=sem_fixed, sem_logits=logits)
+    batch = _batch(2, [2, 2])                        # pseudo says class 2
+    _, stats = compute_losses(out, batch, cfg, agree_on=1.0)
+    # ray 0 is backed by the fixed field -> kept; ray 1 (no prims) demoted
+    assert float(stats["agree_demote_frac"]) == pytest.approx(0.5)
+
+
+def test_agree_filter_needs_confidence():
+    """An unconfident disagreement does not demote the pseudo-label."""
+    cfg = _cfg(sem2d_weight=1.0, fix2d_weight=0.0, sem3d_weight=0.0,
+               depth_weight=0.0, rgb_weight=0.0, pseudo_filter=False,
+               agree_filter=True, agree_conf=0.9)
+    out = _out(2, sem_fixed=jnp.zeros((2, 4)),
+               sem_logits=jnp.zeros((2, 4)))         # uniform softmax (0.25)
+    batch = _batch(2, [2, 2])
+    _, stats = compute_losses(out, batch, cfg, agree_on=1.0)
+    assert float(stats["agree_demote_frac"]) == pytest.approx(0.0)
