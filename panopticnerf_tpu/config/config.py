@@ -267,6 +267,19 @@ class ParallelConfig:
 
 
 @dataclass
+class EvalConfig:
+    """L5 evaluator options beyond the always-on PSNR/mIoU/PQ set."""
+
+    # LPIPS (papers report it alongside PSNR/SSIM — [pn360] experiments)
+    # needs pretrained AlexNet conv weights, which are download-gated in
+    # offline environments. Point this at an .npz produced by
+    # tools/convert_lpips_weights.py to activate the metric; empty = the
+    # evaluator silently skips LPIPS (reference parity for every other
+    # metric is unaffected). See docs/MIGRATION.md "LPIPS".
+    lpips_weights: str = ""
+
+
+@dataclass
 class Config:
     task: str = "panopticnerf"
     exp_name: str = "default"
@@ -281,6 +294,7 @@ class Config:
     loss: LossConfig = field(default_factory=LossConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
 
     # ---- derived paths ----
     @property

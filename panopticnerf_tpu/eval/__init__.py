@@ -21,8 +21,11 @@ def make_evaluator(cfg, things=None):
         else:
             things = np.ones(cfg.model.num_classes, bool)
             things[0] = False  # synthetic convention: class 0 = sky/stuff
+    from panopticnerf_tpu.eval.lpips import make_lpips
+
     return Evaluator(cfg.model.num_classes, things,
-                     fixed_blend=cfg.loss.eval_fixed_blend)
+                     fixed_blend=cfg.loss.eval_fixed_blend,
+                     lpips_fn=make_lpips(cfg.eval.lpips_weights))
 
 
 __all__ = [

@@ -17,16 +17,20 @@ from panopticnerf_tpu.eval.panoptic import fuse_panoptic
 
 class Evaluator:
     def __init__(self, num_classes: int, things: np.ndarray, ignore: int = 255,
-                 fixed_blend: float = 0.5):
+                 fixed_blend: float = 0.5, lpips_fn=None):
         self.num_classes = num_classes
         self.things = np.asarray(things, bool)
         self.ignore = ignore
         self.fixed_blend = fixed_blend
+        # Optional perceptual metric (eval.lpips_weights -> lpips.make_lpips);
+        # None = skip (weights are download-gated — see eval/lpips.py).
+        self.lpips_fn = lpips_fn
         self.reset()
 
     def reset(self):
         self.psnrs = []
         self.ssims = []
+        self.lpips = []
         self.depth_sums = {"n": 0, "se_sum": 0.0, "absrel_sum": 0.0,
                            "delta125": 0}
         self.cm = np.zeros((self.num_classes, self.num_classes), np.int64)
@@ -59,6 +63,10 @@ class Evaluator:
                 self.ssims.append(metrics.ssim(
                     np.asarray(out.rgb).reshape(h, w, -1),
                     np.asarray(gt_rgb).reshape(h, w, -1), m2d))
+                if self.lpips_fn is not None:
+                    self.lpips.append(self.lpips_fn(
+                        np.asarray(out.rgb).reshape(h, w, -1),
+                        np.asarray(gt_rgb).reshape(h, w, -1)))
         if gt_depth is not None and out.depth is not None:
             s = metrics.depth_error_sums(np.asarray(out.depth), gt_depth, valid)
             for k in self.depth_sums:
@@ -98,6 +106,9 @@ class Evaluator:
         ssims = [s for s in self.ssims if np.isfinite(s)]
         if ssims:
             result["ssim"] = float(np.mean(ssims))
+        lpips = [v for v in self.lpips if np.isfinite(v)]
+        if lpips:
+            result["lpips"] = float(np.mean(lpips))
         if self.depth_sums["n"] > 0:
             result.update(metrics.depth_from_sums(self.depth_sums))
         if self.cm.sum() > 0:
@@ -145,6 +156,8 @@ class Evaluator:
             line = f"PSNR: {res['psnr']:.2f} dB"
             if "ssim" in res:
                 line += f"  SSIM: {res['ssim']:.4f}"
+            if "lpips" in res:
+                line += f"  LPIPS: {res['lpips']:.4f}"
             lines.append(line)
         if "depth_rmse" in res:
             lines.append(f"depth: rmse {res['depth_rmse']:.3f} m  "

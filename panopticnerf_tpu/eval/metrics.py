@@ -176,8 +176,8 @@ def pq_from_stats(stats: dict):
 # experiments; [pn] lib/evaluators/panopticnerf.py is unverifiable here —
 # SURVEY.md §0). SSIM follows Wang et al. 2004 exactly: 11x11 Gaussian
 # window (sigma 1.5), C1=(0.01L)^2, C2=(0.03L)^2, 'valid' windows only.
-# LPIPS needs pretrained conv weights (download-gated) and is omitted; the
-# hook point is Evaluator.evaluate.
+# LPIPS lives in eval/lpips.py behind eval.lpips_weights (pretrained conv
+# weights are download-gated; see docs/MIGRATION.md 'LPIPS').
 
 def _ssim_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
