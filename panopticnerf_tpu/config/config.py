@@ -155,6 +155,15 @@ class RenderConfig:
     # where fewer samples cost little quality (measured in BASELINE.md).
     eval_n_samples: int = 0
     eval_n_importance: int = -1
+    # Eval-render FLOP cut (forward-only): of the merged coarse+fine depth
+    # set, query the FINE field only at the eval_keep_samples depths whose
+    # coarse-pass bin weight is highest (static top-k — the TPU-shaped form
+    # of early ray termination + empty-space skipping: post-surface and
+    # empty-gap samples have ~zero coarse weight and are dropped before the
+    # MLP). Integration deltas stay those of the full set, so skipped gaps
+    # contribute zero instead of stretching a neighbor's alpha. 0 = off
+    # (reference-parity rendering). Quality/speed measured in BASELINE.md.
+    eval_keep_samples: int = 0
     # Full-image eval rendering: rays per on-device tile (lax.map over tiles
     # inside one jit — replaces the reference's Python cfg.chunk loop).
     ray_tile: int = 4096

@@ -29,18 +29,23 @@ class CompositeOut(NamedTuple):
 
 
 def compute_weights(
-    sigma: jnp.ndarray, z: jnp.ndarray, far: float, last_delta: float = 1e10
+    sigma: jnp.ndarray, z: jnp.ndarray, far: float, last_delta: float = 1e10,
+    delta: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Compositing weights w_i = alpha_i * prod_{j<i}(1 - alpha_j).
 
     sigma: (N, S) raw density (pre-activation, softplus applied here);
     z: (N, S) sorted depths. The final sample gets a large `last_delta`
     (classic NeRF convention) so any positive terminal density saturates —
-    lets sky/background absorb remaining transmittance.
+    lets sky/background absorb remaining transmittance. An explicit `delta`
+    overrides the z-derived spacing (the top-M eval truncation passes the
+    FULL set's deltas so skipped gaps integrate as empty, not as stretched
+    neighbors — ops.sampling.topm_eval_select).
     """
-    delta = jnp.diff(z, axis=-1)
-    last = jnp.full_like(z[:, :1], last_delta)
-    delta = jnp.concatenate([delta, last], axis=-1)            # (N, S)
+    if delta is None:
+        delta = jnp.concatenate(
+            [jnp.diff(z, axis=-1), jnp.full_like(z[:, :1], last_delta)],
+            axis=-1)                                           # (N, S)
     density = jnp.logaddexp(sigma, 0.0)                        # softplus, stable
     tau = density * delta                                      # optical depth
     alpha = 1.0 - jnp.exp(-tau)
@@ -61,6 +66,7 @@ def composite(
     sem_fixed: Optional[jnp.ndarray] = None,
     inside_intervals: Optional[jnp.ndarray] = None,
     white_bkgd: bool = False,
+    delta: Optional[jnp.ndarray] = None,
 ) -> CompositeOut:
     """Composite per-sample fields into per-ray maps.
 
@@ -71,7 +77,7 @@ def composite(
     ops.intersect.fixed_map_from_weights);
     inside_intervals: (N, S, K) bool containment (for instance mass).
     """
-    w = compute_weights(sigma, z, far)                          # (N, S)
+    w = compute_weights(sigma, z, far, delta=delta)             # (N, S)
     # NOTE: broadcast-multiply-reduce, NOT einsum — per-ray einsums lower to
     # thousands of tiny batched MXU matmuls on TPU; the VPU reduction is ~6x
     # faster at these shapes (measured on v5e).

@@ -186,3 +186,47 @@ def merge_z(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
     construction; sample_pdf emits monotone depths), so this is a rank
     merge, not a sort."""
     return merge_sorted(z_coarse, z_fine)
+
+
+def topm_eval_select(
+    z_all: jnp.ndarray,
+    z_mid: jnp.ndarray,
+    w_interior: jnp.ndarray,
+    m: int,
+    last_delta: float = 1e10,
+):
+    """Keep the m most promising depths of the merged eval set (forward-only).
+
+    The TPU-shaped form of early ray termination + empty-space culling
+    (VERDICT round-3 item 2): instead of data-dependent loop exits — which
+    jit cannot express without per-ray dynamic shapes — rank every merged
+    sample by its coarse-pass bin weight and statically keep the top m.
+    Post-surface samples (transmittance spent) and empty-gap samples both
+    carry ~zero coarse weight, so they are dropped before the fine MLP ever
+    sees them; fine (importance) samples sit in high-weight bins by
+    construction and survive.
+
+    z_all: (N, S) sorted merged depths; z_mid: (N, Sc-1) coarse bin edges;
+    w_interior: (N, Sc-2) coarse interior bin masses (the sample_pdf inputs).
+    Returns (z_sel, delta_sel): (N, m) sorted depths + integration deltas
+    taken from the FULL set, so a skipped gap contributes zero instead of
+    stretching the preceding sample's alpha.
+    """
+    n, s = z_all.shape
+    if m >= s:
+        return z_all, None
+    delta_full = jnp.concatenate(
+        [jnp.diff(z_all, axis=-1),
+         jnp.full((n, 1), last_delta, z_all.dtype)], axis=-1)
+    # Bin weight at each depth; the two boundary bins (before the first /
+    # after the last midpoint) inherit their neighbor's weight.
+    w_bins = jnp.concatenate(
+        [w_interior[:, :1], w_interior, w_interior[:, -1:]], axis=-1)
+    bin_idx = jnp.sum(z_all[:, :, None] >= z_mid[:, None, :], axis=-1)
+    prio = jnp.take_along_axis(w_bins, bin_idx, axis=-1)        # (N, S)
+    _, sel = jax.lax.top_k(prio, m)
+    # top_k ties break toward lower index = smaller z (near-surface first);
+    # ascending index == ascending depth, so one sort restores z order.
+    sel = jnp.sort(sel, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, sel, axis=-1)
+    return take(z_all), take(delta_full)

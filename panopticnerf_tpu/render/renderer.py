@@ -60,7 +60,7 @@ def _query(model, params, pts_world, viewdirs, bounds: SceneBounds, level: int):
 
 def _composite_level(
     model, params, rays_o, rays_d, z, bounds, far, level, iv, num_classes,
-    white_bkgd, noise_key=None, raw_noise_std=0.0,
+    white_bkgd, noise_key=None, raw_noise_std=0.0, delta=None,
 ):
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]     # (N, S, 3)
     dirs = rays_d[:, None, :]
@@ -79,7 +79,7 @@ def _composite_level(
     out = composite_fn(
         sigma, rgb, z, far=far,
         sem_logits=sem, inside_intervals=inside_iv,
-        white_bkgd=white_bkgd,
+        white_bkgd=white_bkgd, delta=delta,
     )
     if iv is not None:
         # Composite the fixed field K-factored — no (N, S, C) tensors.
@@ -141,9 +141,17 @@ def render_rays(
     z_fine = sampling.sample_pdf(k_fine, z_mid, w_interior, rc.n_importance, perturb)
     z_all = sampling.merge_z(z, z_fine)
 
+    delta_f = None
+    if not train and 0 < rc.eval_keep_samples < z_all.shape[1]:
+        # Forward-only top-M truncation: the fine field queries only the
+        # samples with coarse-weight support (static-shape early
+        # termination / empty-space culling — see topm_eval_select).
+        z_all, delta_f = sampling.topm_eval_select(
+            z_all, z_mid, w_interior, rc.eval_keep_samples)
+
     out_f, sem_f, lab_f, cnt_f = _composite_level(
         model, params, rays_o, rays_d, z_all, bounds, rc.far, 1, iv, num_classes,
-        rc.white_bkgd, noise_key=k_nf, raw_noise_std=noise,
+        rc.white_bkgd, noise_key=k_nf, raw_noise_std=noise, delta=delta_f,
     )
     coarse = pack(out_c, sem_c, lab_c, cnt_c, z)
     return pack(out_f, sem_f, lab_f, cnt_f, z_all, coarse=coarse)

@@ -207,3 +207,92 @@ def test_ops_jit_and_grad():
 
     g = jax.jit(jax.grad(loss_fn))(1.0)
     assert np.isfinite(float(g))
+
+
+# ---------------------------------------------------------- top-M eval select
+def test_topm_eval_select_keeps_surface_and_preserves_integral():
+    """Truncated compositing with full-set deltas reproduces the full render
+    when the dropped samples carry no density (the design invariant)."""
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.ops.composite import composite
+    from panopticnerf_tpu.ops.sampling import topm_eval_select
+
+    n, s_c = 4, 17
+    # coarse grid 1..17; surface occupies z in [8, 10]
+    z_c = jnp.broadcast_to(jnp.linspace(1.0, 17.0, s_c)[None], (n, s_c))
+    z_mid = 0.5 * (z_c[:, 1:] + z_c[:, :-1])
+    w_interior = jnp.where(
+        (z_c[:, 1:-1] > 7.5) & (z_c[:, 1:-1] < 10.5), 1.0, 0.0)  # (N, Sc-2)
+    z_all = z_c  # no fine pass needed for the invariant
+    sigma = jnp.where((z_all > 7.5) & (z_all < 10.5), 50.0, -1e9)  # softplus->0
+    rng_rgb = jnp.linspace(0.1, 0.9, s_c)[None, :, None]
+    rgb = jnp.broadcast_to(rng_rgb, (n, s_c, 3))
+
+    z_sel, delta_sel = topm_eval_select(z_all, z_mid, w_interior, m=8)
+    assert z_sel.shape == (n, 8) and delta_sel.shape == (n, 8)
+    # every surface sample survived
+    surf = (z_all > 7.5) & (z_all < 10.5)
+    for i in range(n):
+        kept = set(map(float, z_sel[i]))
+        assert {float(z) for z in z_all[i][surf[i]]} <= kept
+    # deltas are the FULL set's local spacing (uniform grid -> 1.0),
+    # except the final sample's classic last_delta
+    assert jnp.allclose(delta_sel[:, :-1], 1.0, atol=1e-5)
+
+    full = composite(sigma, rgb, z_all, far=20.0)
+    sigma_sel = jnp.where((z_sel > 7.5) & (z_sel < 10.5), 50.0, -1e9)
+    # gather rgb at the selected depths (uniform grid -> index = z - 1)
+    idx = jnp.round(z_sel - 1.0).astype(jnp.int32)
+    rgb_sel = jnp.take_along_axis(rgb, idx[..., None].repeat(3, -1), axis=1)
+    trunc = composite(sigma_sel, rgb_sel, z_sel, far=20.0, delta=delta_sel)
+    assert jnp.allclose(full.rgb, trunc.rgb, atol=1e-4)
+    assert jnp.allclose(full.depth, trunc.depth, atol=1e-3)
+    assert jnp.allclose(full.acc, trunc.acc, atol=1e-4)
+
+
+def test_topm_eval_select_noop_when_m_covers_set():
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.ops.sampling import topm_eval_select
+
+    z = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 8)[None], (2, 8))
+    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+    w = jnp.ones((2, 6))
+    z_sel, delta = topm_eval_select(z, z_mid, w, m=8)
+    assert delta is None and (z_sel == z).all()
+
+
+def test_render_rays_eval_keep_samples_smoke():
+    """eval_keep_samples engages only at eval and keeps output shapes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.config import Config
+    from panopticnerf_tpu.models import init_params, make_network
+    from panopticnerf_tpu.render.renderer import SceneBounds, render_rays
+
+    cfg = Config()
+    cfg.model.num_classes = 4
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 32
+    cfg.model.color_width = 16
+    cfg.render.n_samples = 8
+    cfg.render.n_importance = 8
+    cfg.render.use_primitives = False
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+    o = jnp.zeros((16, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1))
+    bounds = SceneBounds(jnp.zeros(3), jnp.asarray(0.1))
+    cfg_k = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, eval_keep_samples=10))
+    out = render_rays(model, params, o, d, bounds, jax.random.key(1), cfg_k,
+                      train=False)
+    assert out.rgb.shape == (16, 3) and out.z.shape == (16, 10)
+    # train path ignores the knob (full merged set)
+    out_t = render_rays(model, params, o, d, bounds, jax.random.key(1), cfg_k,
+                        train=True)
+    assert out_t.z.shape == (16, 16)

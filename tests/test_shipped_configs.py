@@ -36,3 +36,16 @@ def test_config_loads_and_builds(path):
         cfg.data.synthetic_num_frames = 4
         ds, train_ids, test_ids = make_dataset(cfg)
         assert len(train_ids) > 0 and len(test_ids) > 0
+
+
+def test_kitti360_360_is_multi_sequence():
+    """BASELINE config 5 promises 'multi-sequence batched training on a TPU
+    slice': the SHIPPED file must carry the multi-sequence pool and an HBM
+    stream window, not rely on CLI overrides (round-3 review finding)."""
+    cfg = load_config(os.path.join(REPO, "configs", "kitti360_360.yaml"))
+    assert len(cfg.data.sequences) >= 2
+    assert len(set(cfg.data.sequences)) == len(cfg.data.sequences)
+    assert cfg.data.stream_window > 0
+    assert cfg.data.use_fisheye
+    # slice setting: 0 = all available devices on the data axis
+    assert cfg.parallel.data_parallel == 0
