@@ -477,3 +477,104 @@ def test_max_primitives_truncation_warns(fake_root):
     with _w.catch_warnings():
         _w.simplefilter("error", UserWarning)  # ample budget -> no warning
         build_kitti360_dataset(_cfg(fake_root, max_primitives=8))
+
+
+# ------------------------------------------------- loader contract gap tests
+# (round-4 VERDICT item 7: real-data quirks — positional visible-id files,
+# mm-uint16 SGM PNGs; train_full/ already covered above.)
+
+def test_sgm_uint16_png_is_millimeters(tmp_path):
+    """KITTI-360-style uint16 depth PNGs store millimeters; float arrays
+    (npy) are meters. Both must come back as meters."""
+    from PIL import Image
+
+    from panopticnerf_tpu.data.kitti360 import _load_depth
+
+    base = str(tmp_path / "0000000100")
+    mm = np.zeros((6, 8), np.uint16)
+    mm[2, 3] = 5250          # 5.25 m
+    Image.fromarray(mm).save(base + ".png")
+    d = _load_depth(base, (6, 8))
+    assert d.dtype == np.float32
+    assert d[2, 3] == pytest.approx(5.25)
+    assert d.sum() == pytest.approx(5.25)     # zeros stay invalid
+
+    base2 = str(tmp_path / "0000000101")
+    np.save(base2 + ".npy", np.full((6, 8), 7.5, np.float32))
+    assert _load_depth(base2, (6, 8))[0, 0] == pytest.approx(7.5)
+
+
+def test_visible_id_positional_when_xml_has_no_index(tmp_path):
+    """Older 3D-bbox exports carry no <index> node: visible-id entries are
+    then POSITIONAL (the annotation's ordinal in the file), and one ordinal
+    resolves to every convex piece of that annotation."""
+    import xml.etree.ElementTree as ET
+
+    root = str(tmp_path / "kitti")
+    seq = make_fake_kitti(root)
+    xml_path = f"{root}/data_3d_bboxes/train/{seq}.xml"
+    tree = ET.parse(xml_path)
+    for obj in tree.getroot():
+        idx = obj.find("index")
+        if idx is not None:
+            obj.remove(idx)
+    tree.write(xml_path)
+
+    boxes = parse_bbox_xml(xml_path)
+    assert all(b.index == -1 for b in boxes)
+    assert [b.ordinal for b in boxes] == list(range(len(boxes)))
+
+    # visible_id "0" at frame 102 must now resolve positionally to the car
+    # (ordinal 0), reproducing the index-node fixture's expectation.
+    cfg = _cfg(root)
+    ds = build_kitti360_dataset(cfg)
+    assert int(ds.prim_valid[4].sum()) == 1
+    assert int(ds.prim_sem[4, 0]) == 13        # car trainId
+
+
+def test_visible_id_ordinal_expands_concave_pieces(tmp_path):
+    """A concave extrusion is stored as ONE annotation but parses into
+    several convex Bbox3D records; a positional visible-id entry must keep
+    every piece (dropping one would punch holes in the fixed field)."""
+    import xml.etree.ElementTree as ET
+
+    from panopticnerf_tpu.data.annotation3d import load_visible_ids
+
+    # single L-shaped building, no <index> node
+    rootel = ET.Element("opencv_storage")
+    obj = ET.SubElement(rootel, "object_0")
+    T = np.eye(4)
+    T[:3, 3] = [0, 0, 10]
+    _mat_xml(obj, "transform", T)
+    l2d = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 3], [0, 3]], float)
+    poly = np.concatenate([
+        np.stack([l2d[:, 0], np.full(6, -1.0), l2d[:, 1]], 1),
+        np.stack([l2d[:, 0], np.full(6, 1.0), l2d[:, 1]], 1),
+    ])
+    _mat_xml(obj, "vertices", poly)
+    _mat_xml(obj, "faces", np.zeros((8, 4)))
+    ET.SubElement(obj, "label").text = "building"
+    ET.SubElement(obj, "semanticId").text = "11"
+    ET.SubElement(obj, "instanceId").text = "7"
+    ET.SubElement(obj, "start_frame").text = "0"
+    ET.SubElement(obj, "end_frame").text = "10"
+    ET.SubElement(obj, "timestamp").text = "-1"
+    ET.SubElement(obj, "dynamic").text = "0"
+    xml_path = str(tmp_path / "seq.xml")
+    ET.ElementTree(rootel).write(xml_path)
+
+    boxes = parse_bbox_xml(xml_path)
+    assert len(boxes) >= 2                      # L -> >= 2 convex pieces
+    assert all(b.ordinal == 0 for b in boxes)   # ...sharing the annotation
+    assert all(b.instance_id == boxes[0].instance_id for b in boxes)
+
+    # .npy visible-id variant while we're here
+    vd = str(tmp_path)
+    np.save(os.path.join(vd, "0000000005.npy"), np.array([0]))
+    vis = load_visible_ids(vd, 5)
+    assert vis.tolist() == [0]
+    ordinal_of = {}
+    for i, b in enumerate(boxes):
+        ordinal_of.setdefault(b.ordinal, []).append(i)
+    resolved = [i for v in vis.tolist() for i in ordinal_of.get(v, [])]
+    assert resolved == list(range(len(boxes)))
