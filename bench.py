@@ -17,13 +17,17 @@ hardware) reproduces the reference's execution shape:
   - a separate optimizer-update dispatch
 The fused path is this repo's single-jit train step (on-device sampling,
 intersection, render, loss, backward, update).
-Workload for both: flagship model (8x256 trunk + semantic head), 2048 rays x
-(64 coarse + 64 importance) samples — the config-4 kitti360_panoptic.yaml
-shape — 32 primitives, guided sampling, full PanopticNeRF loss stack.
+Workload for both: the SHIPPED flagship (configs/kitti360_panoptic.yaml):
+8x256 fine field + 4x128 proposal coarse (round-4 default — save_best
+quality parity with the full coarse at 376x1408, BASELINE.md round-4 A/B),
+2048 rays x (64 coarse + 64 importance) samples, 32 primitives, guided
+sampling, full PanopticNeRF loss stack. The eager baseline keeps the
+REFERENCE model shape (full 8x256 coarse — the reference has no proposal
+field to shrink). The full-coarse fused step and a coarse-only
+(n_importance=0) step are reported as secondary metrics for continuity
+with round 1-3 records.
 The eager baseline is the MEDIAN of several repeats (the denominator was
 observed to swing ~1.8x between single runs); the spread is reported.
-A coarse-only (n_importance=0) fused number is also reported for
-comparison with round-1 records.
 
 Denominator stability: the eager baseline is DISPATCH-BOUND (dozens of H2D
 transfers + device dispatches per step through the axon relay), so its
@@ -97,6 +101,10 @@ def flagship_cfg():
     # YAML config; bench measures the shipped configuration.
     cfg.model.use_pallas = True
     cfg.render.use_pallas_intersect = True
+    # Round-4 shipped default: proposal-sized coarse (quality defense at
+    # full 376x1408 scale in BASELINE.md round-4).
+    cfg.model.coarse_trunk_depth = 4
+    cfg.model.coarse_trunk_width = 128
     cfg.train.lr = 5e-4
     if TINY:
         cfg.data.synthetic_image_hw = (24, 32)
@@ -104,6 +112,8 @@ def flagship_cfg():
         cfg.model.trunk_depth = 2
         cfg.model.trunk_width = 32
         cfg.model.color_width = 16
+        cfg.model.coarse_trunk_depth = 1
+        cfg.model.coarse_trunk_width = 16
         cfg.render.n_samples = 8
         cfg.render.n_importance = 8
     return cfg
@@ -263,31 +273,28 @@ def main():
         float(stats["loss_total"])  # drain queue
         return cfg.data.n_rays * iters / (time.time() - t0), s
 
-    # ---------- fused path: flagship coarse+fine, plus coarse-only ----------
+    # ---------- fused paths ----------
+    # Headline: the SHIPPED flagship (proposal 4x128 coarse + 8x256 fine —
+    # round-4 default, quality-defended at full res in BASELINE.md round-4).
+    # Secondary: the reference-shape full 8x256 coarse (round 1-3 headline)
+    # and a coarse-only step, both for record continuity.
     iters = 20 if FAST else 200
     fused_rps, s = time_fused(cfg, state, iters)
     import dataclasses
 
-    cfg_coarse = dataclasses.replace(
-        cfg, render=dataclasses.replace(cfg.render, n_importance=0)
-    )
-    fused_coarse_rps, _ = time_fused(cfg_coarse, state, iters)
-
-    # ---------- proposal-style small-coarse variant (secondary metric) -------
-    # model.coarse_trunk_depth/width=4x128 shrinks only the coarse pass (the
-    # fine 8x256 field is unchanged). Quality parity on the 10k-step fixture
-    # run (PSNR 30.24 / mIoU 0.980 / PQ 0.940 vs full-coarse 30.48/0.982/
-    # 0.942) at +22% step rate — BASELINE.md round-3 small-coarse study.
-    # The HEADLINE stays the reference-parity shape (full-size coarse).
-    pd, pw = (1, 16) if TINY else (4, 128)
-    cfg_prop = dataclasses.replace(
+    cfg_ref = dataclasses.replace(
         cfg, model=dataclasses.replace(
-            cfg.model, coarse_trunk_depth=pd, coarse_trunk_width=pw))
-    model_prop = make_network(cfg_prop)
-    state_prop = make_train_state(
-        cfg_prop, model_prop, init_params(model_prop, jax.random.key(0)))
-    fused_prop_rps, _ = time_fused(cfg_prop, state_prop, iters,
-                                   model=model_prop)
+            cfg.model, coarse_trunk_depth=0, coarse_trunk_width=0))
+    model_ref = make_network(cfg_ref)
+    state_ref = make_train_state(
+        cfg_ref, model_ref, init_params(model_ref, jax.random.key(0)))
+    fused_full_rps, _ = time_fused(cfg_ref, state_ref, iters, model=model_ref)
+
+    cfg_coarse = dataclasses.replace(
+        cfg_ref, render=dataclasses.replace(cfg_ref.render, n_importance=0)
+    )
+    fused_coarse_rps, _ = time_fused(cfg_coarse, state_ref, iters,
+                                     model=model_ref)
 
     # ---------- full-image render FPS (the second headline metric) ----------
     from panopticnerf_tpu.data.dataset import view_primitives, view_rays
@@ -337,9 +344,13 @@ def main():
     )
     base_iters = 3 if FAST else 15
     base_repeats = 1 if FAST else 3
+    # The eager baseline keeps the REFERENCE model shape (full 8x256
+    # coarse): the reference has no proposal field, so shrinking its coarse
+    # would understate it.
     base_runs = [
-        run_baseline(cfg, ds_host, model,
-                     make_train_state(cfg, model, state.params), base_iters)
+        run_baseline(cfg_ref, ds_host, model_ref,
+                     make_train_state(cfg_ref, model_ref, state_ref.params),
+                     base_iters)
         for _ in range(base_repeats)
     ]
     base_rps = float(np.median(base_runs))
@@ -370,8 +381,10 @@ def main():
         "platform": platform,
         "rays_per_batch": cfg.data.n_rays,
         "samples_per_ray": [cfg.render.n_samples, cfg.render.n_importance],
+        "flagship_coarse_trunk": [cfg.model.coarse_trunk_depth,
+                                  cfg.model.coarse_trunk_width],
+        "fused_full_coarse_rays_per_sec": round(fused_full_rps, 1),
         "fused_coarse_only_rays_per_sec": round(fused_coarse_rps, 1),
-        "fused_proposal_coarse_rays_per_sec": round(fused_prop_rps, 1),
         "render_fps": round(render_fps, 2),
         "render_fps_eval32": round(render_fps_e32, 2),
         "render_image_hw": [h, w],

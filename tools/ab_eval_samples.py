@@ -41,10 +41,16 @@ def main():
     gt_sem = np.asarray(ds.gt_sem[view]).reshape(-1)
     gt_inst = np.asarray(ds.gt_inst[view]).reshape(-1)
 
-    sweeps = [(0, -1), (48, 48), (32, 32), (32, 16), (64, 0), (24, 24)]
-    for ns, ni in sweeps:
+    sweeps = [(0, -1, 0), (48, 48, 0), (32, 32, 0), (32, 16, 0), (64, 0, 0),
+              (24, 24, 0)]
+    if os.environ.get("ABS_KEEP", "0") == "1":
+        # round-4 top-M truncation (render.eval_keep_samples) quality arm
+        sweeps = [(0, -1, 0), (0, -1, 96), (0, -1, 80), (0, -1, 64),
+                  (0, -1, 48), (32, 32, 0)]
+    for ns, ni, keep in sweeps:
         c = dataclasses.replace(cfg, render=dataclasses.replace(
-            cfg.render, eval_n_samples=ns, eval_n_importance=ni))
+            cfg.render, eval_n_samples=ns, eval_n_importance=ni,
+            eval_keep_samples=keep))
         render = jax.jit(lambda p: _render_view(c, model, p, ds, view))
         out = render(params)  # compile
         ms = timed(lambda p: render(p).rgb.sum(), params, iters=10, warmup=2) * 1e3
@@ -52,7 +58,8 @@ def main():
         ev.evaluate(out, gt_rgb, gt_sem, gt_inst)
         r = ev.summarize()
         eff = (ns or c.render.n_samples, ni if ni >= 0 else c.render.n_importance)
-        print(f"eval {eff[0]:3d}+{eff[1]:3d}: {ms:7.2f} ms/frame "
+        eff = (eff[0], eff[1] if not keep else f"{eff[1]}k{keep}")
+        print(f"eval {eff[0]:3}+{eff[1]:>3}: {ms:7.2f} ms/frame "
               f"({1e3 / ms:5.2f} FPS)  psnr {r['psnr']:.2f}  "
               f"miou {r.get('miou', float('nan')):.4f}  "
               f"pq {r.get('pq', float('nan')):.4f}", flush=True)

@@ -52,18 +52,27 @@ def main():
     bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
     print(f"image {hw[0]}x{hw[1]} = {o.shape[0]} rays", flush=True)
 
-    # (name, eval_ns, eval_ni, coarse_dw)
-    variants = [("64+64", 0, -1, 0),
-                ("32+32", 32, 32, 0),
-                ("32+32+prop", 32, 32, 128)]
+    # (name, eval_ns, eval_ni, coarse_dw, keep)
+    variants = [("64+64", 0, -1, 0, 0),
+                ("32+32", 32, 32, 0, 0),
+                ("32+32+prop", 32, 32, 128, 0)]
+    if os.environ.get("FR_KEEP", "0") == "1":
+        # round-4 forward-only optimization sweep: top-M truncation
+        # (render.eval_keep_samples) alone and stacked with proposal coarse
+        variants += [("64+64+keep64", 0, -1, 0, 64),
+                     ("64+64+keep80", 0, -1, 0, 80),
+                     ("prop", 0, -1, 128, 0),
+                     ("prop+keep64", 0, -1, 128, 64),
+                     ("prop+keep80", 0, -1, 128, 80)]
     fns = {}
-    for name, ens, eni, cw in variants:
+    for name, ens, eni, cw, keep in variants:
         cfg = dataclasses.replace(
             base,
             model=dataclasses.replace(base.model, coarse_trunk_depth=4 if cw else 0,
                                       coarse_trunk_width=cw),
             render=dataclasses.replace(base.render, eval_n_samples=ens,
-                                       eval_n_importance=eni),
+                                       eval_n_importance=eni,
+                                       eval_keep_samples=keep),
         )
         flax_model = make_network(cfg)
         params = init_params(flax_model, jax.random.key(0))
