@@ -113,10 +113,15 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
                     n_boxes: int = 6, seed: int = 0, label_noise: float = 0.05,
                     depth_keep: float = 0.6, baseline: float = 0.5,
                     seq: str = SEQ, fisheye: bool = False,
-                    n_concave: int = 0) -> str:
+                    n_concave: int = 0, frame_start: int = 0) -> str:
     """Write the tree under `root`; returns the sequence name. Call with
     several `seq`/`seed` values over one root to build a multi-sequence
     tree (data.sequences; BASELINE config 5).
+
+    `frame_start` offsets every frame NUMBER (pose lines, file names, XML
+    frame ranges) without changing the camera path, matching the real
+    KITTI-360 layout where training windows start mid-sequence (the shipped
+    configs' `data.frame_start: 3353` runs against such a tree unmodified).
 
     With `fisheye=True` the tree additionally carries the -360 branch's
     left-fisheye streams (calibration/image_02.yaml MEI intrinsics,
@@ -205,8 +210,9 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
             c2w[0, 3] = (i - (n_frames - 1) / 2) * 0.45
             c2w[1, 3] = -0.3
             c2ws.append(c2w)
-            f.write(f"{i} " + " ".join(f"{v:.6f}" for v in c2w.reshape(-1)) + "\n")
-            g.write(f"{i} " + " ".join(f"{v:.6f}" for v in c2w[:3].reshape(-1)) + "\n")
+            fn = frame_start + i
+            f.write(f"{fn} " + " ".join(f"{v:.6f}" for v in c2w.reshape(-1)) + "\n")
+            g.write(f"{fn} " + " ".join(f"{v:.6f}" for v in c2w[:3].reshape(-1)) + "\n")
 
     # --- 3D bboxes XML (cuboids; transform = R @ diag(size)) ---
     os.makedirs(f"{root}/data_3d_bboxes/train", exist_ok=True)
@@ -233,8 +239,8 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
         ET.SubElement(obj, "semanticId").text = str(rid)
         ET.SubElement(obj, "instanceId").text = str(int(inst_local[i]))
         ET.SubElement(obj, "index").text = str(i)
-        ET.SubElement(obj, "start_frame").text = "0"
-        ET.SubElement(obj, "end_frame").text = str(n_frames - 1)
+        ET.SubElement(obj, "start_frame").text = str(frame_start)
+        ET.SubElement(obj, "end_frame").text = str(frame_start + n_frames - 1)
         ET.SubElement(obj, "timestamp").text = "-1"
         ET.SubElement(obj, "dynamic").text = "0"
     ET.ElementTree(rootel).write(f"{root}/data_3d_bboxes/train/{SEQ}.xml")
@@ -242,7 +248,7 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
     # --- visible ids: every annotation, every frame ---
     os.makedirs(f"{root}/visible_id/{SEQ}", exist_ok=True)
     for i in range(n_frames):
-        with open(f"{root}/visible_id/{SEQ}/{i:010d}.txt", "w") as f:
+        with open(f"{root}/visible_id/{SEQ}/{frame_start + i:010d}.txt", "w") as f:
             f.write("\n".join(str(j) for j in range(len(ann_labels))) + "\n")
 
     # --- per-frame raycast renders ---
@@ -277,6 +283,7 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
     os.makedirs(d2, exist_ok=True)
 
     for fr in range(n_frames):
+        fn = frame_start + fr
         for cam_idx, cam in enumerate(("image_00", "image_01")):
             c2w = c2ws[fr].copy()
             if cam_idx == 1:
@@ -295,31 +302,31 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
             col[hit] = palette[idx[hit]] * shade[face[hit]][:, None]
             img = (col.reshape(h, w, 3).clip(0, 1) * 255).astype(np.uint8)
             Image.fromarray(img).save(
-                f"{root}/data_2d_raw/{SEQ}/{cam}/data_rect/{fr:010d}.png")
+                f"{root}/data_2d_raw/{SEQ}/{cam}/data_rect/{fn:010d}.png")
 
             sem_raw = np.where(hit, box_raw[np.clip(idx, 0, None)], _SKY_ID)
             pseudo = sem_raw.copy()
             flip = rng.uniform(size=pseudo.shape) < label_noise
             pseudo[flip] = rng.choice(_NOISE_IDS, size=int(flip.sum()))
-            np.save(f"{root}/pspnet/{SEQ}/{cam}/{fr:010d}.npy",
+            np.save(f"{root}/pspnet/{SEQ}/{cam}/{fn:010d}.npy",
                     pseudo.reshape(h, w).astype(np.int32))
 
             if cam_idx == 0:
                 # sgm: PLANE-Z depth (stereo convention), sparsified
                 z = np.where(hit, t_hit * inv_norm, 0.0)
                 keep = rng.uniform(size=z.shape) < depth_keep
-                np.save(f"{root}/sgm/{SEQ}/image_00/{fr:010d}.npy",
+                np.save(f"{root}/sgm/{SEQ}/image_00/{fn:010d}.npy",
                         np.where(keep, z, 0.0).reshape(h, w).astype(np.float32))
 
                 Image.fromarray(sem_raw.reshape(h, w).astype(np.uint8)).save(
-                    f"{d1}/{fr:010d}.png")
+                    f"{d1}/{fn:010d}.png")
                 inst_map = sem_raw.astype(np.int64) * 1000
                 inst_map[hit] += box_inst[idx[hit]]
                 # uint16 ("I;16") matches the real KITTI-360 instance PNGs
                 # (semantic*1000+instance <= ~45k fits) and avoids Pillow's
                 # deprecated mode-"I" PNG save path.
                 Image.fromarray(inst_map.reshape(h, w).astype(np.uint16)
-                                ).save(f"{d2}/{fr:010d}.png")
+                                ).save(f"{d2}/{fn:010d}.png")
 
         if fisheye:
             # left fisheye from the cam0 pose (identity c2p, IMU pose =
@@ -339,14 +346,14 @@ def write_demo_tree(root: str, n_frames: int = 8, hw: tuple[int, int] = (48, 64)
             col[hit] = palette[idx[hit]] * shade[face[hit]][:, None]
             img = (col.reshape(h, w, 3).clip(0, 1) * 255).astype(np.uint8)
             Image.fromarray(img).save(
-                f"{root}/data_2d_raw/{SEQ}/image_02/data_rgb/{fr:010d}.png")
+                f"{root}/data_2d_raw/{SEQ}/image_02/data_rgb/{fn:010d}.png")
 
             sem_raw = np.where(hit, box_raw[np.clip(idx, 0, None)], _SKY_ID)
             sem_raw = np.where(fe_valid, sem_raw, 0)
             pseudo = sem_raw.copy()
             flip = (rng.uniform(size=pseudo.shape) < label_noise) & fe_valid
             pseudo[flip] = rng.choice(_NOISE_IDS, size=int(flip.sum()))
-            np.save(f"{root}/pspnet/{SEQ}/image_02/{fr:010d}.npy",
+            np.save(f"{root}/pspnet/{SEQ}/image_02/{fn:010d}.npy",
                     pseudo.reshape(h, w).astype(np.int32))
     return SEQ
 

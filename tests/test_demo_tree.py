@@ -143,6 +143,25 @@ def test_multi_sequence_demo_tree_trains(tmp_path):
     assert np.isfinite(float(stats["loss_total"]))
 
 
+def test_frame_start_offset_tree_loads(tmp_path):
+    """A tree written with frame_start=3353 loads through the unmodified
+    shipped-config window (data.frame_start 3353): the real KITTI-360
+    training windows start mid-sequence, and the config-5 hardware record
+    must run from the YAML without frame renumbering."""
+    root = str(tmp_path / "offset")
+    os.makedirs(root)
+    write_demo_tree(root, n_frames=3, hw=(32, 48), n_boxes=3, seed=0,
+                    label_noise=0.0, depth_keep=1.0, frame_start=3353)
+    cfg = _cfg(root)
+    cfg.data.frame_start = 3353
+    cfg.data.frame_num = 3
+    ds = build_kitti360_dataset(cfg)
+    assert ds.images.shape[0] == 6  # 3 frames x stereo
+    assert np.isfinite(np.asarray(ds.depth)).all()
+    # GT streams found at the offset frame numbers (not silently empty)
+    assert int(np.asarray(ds.gt_sem).max()) > 0
+
+
 def test_fisheye_streams_consistent(tmp_path):
     """fisheye=True trees carry MEI image_02 streams consistent with the
     scene: the loader's yaml parse + pose path + `pixel_dirs` fisheye

@@ -59,11 +59,12 @@ def main():
     if os.environ.get("FR_KEEP", "0") == "1":
         # round-4 forward-only optimization sweep: top-M truncation
         # (render.eval_keep_samples) alone and stacked with proposal coarse
-        variants += [("64+64+keep64", 0, -1, 0, 64),
+        variants += [("64+64+keep96", 0, -1, 0, 96),
                      ("64+64+keep80", 0, -1, 0, 80),
                      ("prop", 0, -1, 128, 0),
-                     ("prop+keep64", 0, -1, 128, 64),
-                     ("prop+keep80", 0, -1, 128, 80)]
+                     ("prop+keep96", 0, -1, 128, 96),
+                     ("prop+keep80", 0, -1, 128, 80),
+                     ("prop+keep64", 0, -1, 128, 64)]
     fns = {}
     for name, ens, eni, cw, keep in variants:
         cfg = dataclasses.replace(
