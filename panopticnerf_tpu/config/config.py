@@ -210,6 +210,16 @@ class LossConfig:
     agree_filter: bool = False
     agree_conf: float = 0.9
     agree_start: float = 0.5       # fraction of train.max_steps
+    # Annealed consistency threshold (a second "-360 improved filtering"
+    # candidate, ablatable against agree_filter): linearly raise the
+    # pseudo-filter bar from weight_th to weight_th_final over
+    # [weight_th_anneal_start * max_steps, max_steps]. Late in training the
+    # model fits the clean signal and the residual 2D CE is dominated by
+    # pseudo-label noise — a stricter consistency bar then drops more noise
+    # than signal. Traced like sem_scale (one jit serves the whole
+    # schedule). Disabled when weight_th_final < 0.
+    weight_th_final: float = -1.0
+    weight_th_anneal_start: float = 0.5
 
 
 @dataclass

@@ -22,7 +22,9 @@ from panopticnerf_tpu.data.dataset import DeviceDataset, batch_intervals, sample
 from panopticnerf_tpu.parallel.mesh import replicated
 from panopticnerf_tpu.render.renderer import SceneBounds, render_rays
 from panopticnerf_tpu.train.loss import compute_losses
-from panopticnerf_tpu.train.step import TrainState, ema_update, resolve_train_model
+from panopticnerf_tpu.train.step import (TrainState, ema_update,
+                                         resolve_train_model,
+                                         weight_th_schedule)
 
 
 def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True):
@@ -127,6 +129,7 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
             jnp.where(state.step >= agree_start_step, 1.0, 0.0)
             if cfg.loss.agree_filter else 0.0
         )
+        weight_th_t = weight_th_schedule(cfg, state.step)
         bounds = SceneBounds(ds.bounds_center, ds.bounds_scale)
 
         if use_shard_map:
@@ -139,8 +142,9 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
             b_specs = type(batch)(*([ray] * len(batch)))
             iv_specs = type(iv)(*([ray] * len(iv))) if iv is not None else None
 
-            # scales = [sem_scale, agree_on] as ONE replicated (2,) operand
-            # so the shard_map specs stay unchanged as gates are added.
+            # scales = [sem_scale, agree_on, weight_th] as ONE replicated
+            # (3,) operand so the shard_map specs stay unchanged as gates
+            # are added.
             def local_loss(params, b, ivx, bnds, k_r, scales, dsx=None):
                 # decorrelate per-device stratified jitter
                 k_loc = jax.random.fold_in(k_r, jax.lax.axis_index(axis))
@@ -156,10 +160,12 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
                 out = render_rays(model, params, b.rays_o, b.rays_d, bnds,
                                   k_loc, cfg, iv=ivx, train=True)
                 return compute_losses(out, b, cfg, sem_scale=scales[0],
-                                      axis_name=axis, agree_on=scales[1])
+                                      axis_name=axis, agree_on=scales[1],
+                                      weight_th=scales[2])
 
             s_arr = jnp.stack([jnp.asarray(sem_scale, jnp.float32),
-                               jnp.asarray(agree_on, jnp.float32)])
+                               jnp.asarray(agree_on, jnp.float32),
+                               jnp.asarray(weight_th_t, jnp.float32)])
             if intersect_in_region:
                 ds_specs = jax.tree.map(lambda _: P(), ds)
                 smap = jax.shard_map(
@@ -192,7 +198,7 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, donate: bool = True
                     k_render, cfg, iv=iv, train=True,
                 )
                 return compute_losses(out, batch, cfg, sem_scale=sem_scale,
-                                      agree_on=agree_on)
+                                      agree_on=agree_on, weight_th=weight_th_t)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = ema_update(state.apply_gradients(grads=grads),

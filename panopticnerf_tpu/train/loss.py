@@ -72,6 +72,7 @@ def compute_losses(
     sem_scale: jnp.ndarray | float = 1.0,
     axis_name: str | None = None,
     agree_on: jnp.ndarray | float = 0.0,
+    weight_th: jnp.ndarray | float | None = None,
 ):
     """Returns (total_loss, stats dict of scalars).
 
@@ -82,6 +83,10 @@ def compute_losses(
     `agree_on` is the traced 0/1 activation of the late-stage
     self-agreement demotion (loss.agree_filter; the step computes it from
     state.step >= agree_start * max_steps so one jit serves both phases).
+
+    `weight_th` overrides cfg.loss.weight_th with a traced scalar — the
+    annealed consistency threshold (loss.weight_th_final; the step computes
+    the schedule from state.step, train/step.weight_th_schedule).
     """
     lc = cfg.loss
     num_classes = cfg.model.num_classes
@@ -119,7 +124,8 @@ def compute_losses(
         class_mass = jnp.take_along_axis(fixed_map, lab[:, None], axis=-1)[:, 0]
         ray_has_prims = jnp.sum(fixed_map, axis=-1) > 1e-6
         if lc.pseudo_filter:
-            consistent = class_mass > lc.weight_th
+            th = lc.weight_th if weight_th is None else weight_th
+            consistent = class_mass > th
             # no-primitive rays (sky etc.) keep their pseudo supervision
             keep = has_pseudo & (consistent | ~ray_has_prims)
         else:

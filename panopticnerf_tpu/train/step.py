@@ -102,6 +102,19 @@ def resolve_train_model(cfg: Config, model):
     return model
 
 
+def weight_th_schedule(cfg: Config, step):
+    """Traced pseudo-filter threshold at `step`: linear anneal from
+    loss.weight_th to loss.weight_th_final over
+    [weight_th_anneal_start * max_steps, max_steps] (disabled when
+    weight_th_final < 0 — returns the static base threshold)."""
+    lc = cfg.loss
+    if lc.weight_th_final < 0:
+        return lc.weight_th
+    a0 = int(lc.weight_th_anneal_start * cfg.train.max_steps)
+    frac = jnp.clip((step - a0) / max(cfg.train.max_steps - a0, 1), 0.0, 1.0)
+    return lc.weight_th + frac * (lc.weight_th_final - lc.weight_th)
+
+
 def make_train_step(cfg: Config, model, donate: bool = True):
     """Build the jitted step: (state, ds, view_ids, key) -> (state, stats).
 
@@ -150,6 +163,7 @@ def make_train_step(cfg: Config, model, donate: bool = True):
             jnp.where(state.step >= agree_start_step, 1.0, 0.0)
             if cfg.loss.agree_filter else 0.0
         )
+        weight_th_t = weight_th_schedule(cfg, state.step)
 
         def loss_fn(params):
             out = render_rays(
@@ -157,7 +171,7 @@ def make_train_step(cfg: Config, model, donate: bool = True):
                 k_render, cfg, iv=iv, train=True,
             )
             return compute_losses(out, batch, cfg, sem_scale=sem_scale,
-                                  agree_on=agree_on)
+                                  agree_on=agree_on, weight_th=weight_th_t)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = ema_update(state.apply_gradients(grads=grads),

@@ -226,3 +226,43 @@ def test_agree_filter_needs_confidence():
     batch = _batch(2, [2, 2])
     _, stats = compute_losses(out, batch, cfg, agree_on=1.0)
     assert float(stats["agree_demote_frac"]) == pytest.approx(0.0)
+
+
+def test_weight_th_override_tightens_filter():
+    """A traced weight_th override replaces cfg.loss.weight_th: the same
+    borderline pixel is kept at the base threshold and dropped at the
+    annealed one (the loss.weight_th_final mechanism)."""
+    cfg = _cfg(pseudo_filter=True, weight_th=0.05, sem2d_weight=1.0,
+               fix2d_weight=0.0, sem3d_weight=0.0, depth_weight=0.0,
+               rgb_weight=0.0)
+    # one ray crossing primitives with 0.3 fixed mass on the pseudo class
+    sem_fixed = jnp.zeros((1, 4)).at[0, 1].set(0.3)
+    out = _out(1, sem_fixed=sem_fixed)
+    batch = _batch(1, [1])
+    _, s_base = compute_losses(out, batch, cfg)                    # th=0.05
+    _, s_tight = compute_losses(out, batch, cfg,
+                                weight_th=jnp.asarray(0.5))        # annealed
+    assert float(s_base["filter_keep_frac"]) == pytest.approx(1.0)
+    assert float(s_tight["filter_keep_frac"]) == pytest.approx(0.0)
+
+
+def test_weight_th_schedule():
+    """Linear anneal from weight_th to weight_th_final over the tail of
+    training; a plain static float when disabled."""
+    from panopticnerf_tpu.train.step import weight_th_schedule
+
+    cfg = Config()
+    cfg.loss.weight_th = 0.05
+    cfg.train.max_steps = 1000
+
+    # disabled (default): static base threshold, no tracing needed
+    assert weight_th_schedule(cfg, 999) == pytest.approx(0.05)
+
+    cfg.loss.weight_th_final = 0.45
+    cfg.loss.weight_th_anneal_start = 0.5
+    at = lambda s: float(weight_th_schedule(cfg, jnp.asarray(s, jnp.int32)))
+    assert at(0) == pytest.approx(0.05)
+    assert at(500) == pytest.approx(0.05)
+    assert at(750) == pytest.approx(0.25, abs=1e-6)
+    assert at(1000) == pytest.approx(0.45)
+    assert at(5000) == pytest.approx(0.45)   # clipped past max_steps
