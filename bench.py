@@ -58,7 +58,10 @@ TINY = os.environ.get("BENCH_TINY", "0") == "1"
 # eager-baseline median ever measured on this machine is persisted under
 # out/ (gitignored — a fresh clone starts from pure measurement) and only
 # ever ratchets up. No magic constants: the first invocation on any setup
-# has floor == measured median, i.e. vs_baseline == vs_measured_baseline.
+# has floor == measured median, i.e. vs_baseline == vs_measured_baseline —
+# except that when out/ was wiped (container reset) the floor re-seeds from
+# the committed BENCH_r*.json driver records, so the ratchet survives
+# resets (see _committed_floor).
 FLOOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "out", "bench_floor.json")
 
@@ -68,7 +71,28 @@ def read_floor() -> float:
         with open(FLOOR_FILE) as f:
             return float(json.load(f)["floor_rays_per_sec"])
     except Exception:
-        return 0.0
+        return _committed_floor()
+
+
+def _committed_floor(repo: str | None = None) -> float:
+    """Ratchet continuity across container resets: out/ is wiped with the
+    machine image, but the driver's BENCH_r*.json records (committed) embed
+    the floor each round ran against. Seed from the best committed reading
+    so a reset cannot quietly lower the bar (same TPU generation either
+    way; a genuinely new setup just measures past it)."""
+    import glob
+    import re
+
+    best = 0.0
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        try:
+            tail = json.load(open(path)).get("tail", "")
+        except Exception:
+            continue
+        for m in re.finditer(r'"baseline_floor_rays_per_sec":\s*([0-9.]+)', tail):
+            best = max(best, float(m.group(1)))
+    return best
 
 
 def update_floor(median_rps: float) -> None:

@@ -23,3 +23,20 @@ def test_shipped_flagship_artifact_loads():
     leaves = jax.tree.leaves(params)
     assert sum(x.size for x in leaves) == sum(x.size for x in jax.tree.leaves(tpl))
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_bench_floor_reseeds_from_committed_records(tmp_path):
+    """Container resets wipe out/bench_floor.json; the vs_baseline ratchet
+    must re-seed from the committed BENCH_r*.json driver records so the
+    denominator floor never quietly drops (bench._committed_floor)."""
+    import json
+
+    import bench
+
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"tail": 'x\n{"metric": "m", "baseline_floor_rays_per_sec": 123.5}\n'}))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(
+        {"tail": '{"baseline_floor_rays_per_sec": 99.0}'}))
+    assert bench._committed_floor(str(tmp_path)) == 123.5
+    # the real repo's records seed at least the round-3 floor
+    assert bench._committed_floor() >= 24413.7
