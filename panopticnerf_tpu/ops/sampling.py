@@ -194,22 +194,44 @@ def topm_eval_select(
     w_interior: jnp.ndarray,
     m: int,
     last_delta: float = 1e10,
+    term_frac: float = 0.9995,
+    cull_frac: float = 1e-4,
 ):
     """Keep the m most promising depths of the merged eval set (forward-only).
 
     The TPU-shaped form of early ray termination + empty-space culling
     (VERDICT round-3 item 2): instead of data-dependent loop exits — which
-    jit cannot express without per-ray dynamic shapes — rank every merged
-    sample by its coarse-pass bin weight and statically keep the top m.
-    Post-surface samples (transmittance spent) and empty-gap samples both
-    carry ~zero coarse weight, so they are dropped before the fine MLP ever
-    sees them; fine (importance) samples sit in high-weight bins by
-    construction and survive.
+    jit cannot express without per-ray dynamic shapes — drop every merged
+    sample whose coarse-pass evidence says the fine MLP query is wasted,
+    and statically compact the survivors to m slots:
+
+      * early termination: samples past the depth where the coarse pass has
+        already spent `term_frac` of its transmittance budget (cumulative
+        normalized bin mass) — post-surface points;
+      * empty-space culling: samples in bins carrying less than `cull_frac`
+        of the ray's total mass — gap points between primitives.
+
+    Fine (importance) samples sit in high-mass pre-surface bins by
+    construction and survive. When fewer than m samples survive, the
+    nearest dropped samples pad the output (they carry ~zero density, so
+    they change nothing — the same invariant that makes truncation exact,
+    see tests); when more survive, the deepest go first (termination).
+
+    Implementation note (round-4 full-res measurement): the original
+    top_k(prio, m) + index-sort + 3x take_along_axis formulation REGRESSED
+    2x at 376x1408 (529k rays) — lane-axis gathers are the documented v5e
+    poison pattern (CLAUDE.md; sample_pdf above avoids them the same way).
+    This form needs no gather at all: the bin-mass lookup is a one-hot
+    mul-reduce, the keep decision is a lane cumsum + compares, and the
+    compaction is ONE stable multi-operand lax.sort on a keep-then-position
+    key followed by a static slice. Kept samples stay depth-ordered; pad
+    samples land after them (order only matters for occlusion, and pads
+    are ~zero-density by the same invariant).
 
     z_all: (N, S) sorted merged depths; z_mid: (N, Sc-1) coarse bin edges;
     w_interior: (N, Sc-2) coarse interior bin masses (the sample_pdf inputs).
-    Returns (z_sel, delta_sel): (N, m) sorted depths + integration deltas
-    taken from the FULL set, so a skipped gap contributes zero instead of
+    Returns (z_sel, delta_sel): (N, m) depths + integration deltas taken
+    from the FULL set, so a skipped gap contributes zero instead of
     stretching the preceding sample's alpha.
     """
     n, s = z_all.shape
@@ -218,15 +240,28 @@ def topm_eval_select(
     delta_full = jnp.concatenate(
         [jnp.diff(z_all, axis=-1),
          jnp.full((n, 1), last_delta, z_all.dtype)], axis=-1)
-    # Bin weight at each depth; the two boundary bins (before the first /
-    # after the last midpoint) inherit their neighbor's weight.
+    # Bin mass at each depth via one-hot mul-reduce (no lane gather). The
+    # two boundary bins (before the first / after the last midpoint)
+    # inherit their neighbor's mass.
     w_bins = jnp.concatenate(
         [w_interior[:, :1], w_interior, w_interior[:, -1:]], axis=-1)
     bin_idx = jnp.sum(z_all[:, :, None] >= z_mid[:, None, :], axis=-1)
-    prio = jnp.take_along_axis(w_bins, bin_idx, axis=-1)        # (N, S)
-    _, sel = jax.lax.top_k(prio, m)
-    # top_k ties break toward lower index = smaller z (near-surface first);
-    # ascending index == ascending depth, so one sort restores z order.
-    sel = jnp.sort(sel, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, sel, axis=-1)
-    return take(z_all), take(delta_full)
+    iota_b = jnp.arange(w_bins.shape[1])
+    onehot = (bin_idx[..., None] == iota_b).astype(z_all.dtype)  # (N, S, B)
+    prio = jnp.sum(onehot * w_bins[:, None, :], axis=-1)         # (N, S)
+
+    total = jnp.sum(prio, axis=-1, keepdims=True)
+    w_norm = prio / jnp.maximum(total, 1e-12)
+    spent_before = jnp.cumsum(w_norm, axis=-1) - w_norm          # exclusive
+    keep = (spent_before < term_frac) & (w_norm > cull_frac)
+    # Rays with no coarse mass anywhere (pure background) keep their
+    # nearest m samples — same tie behavior as top_k on all-zero prio.
+    keep = keep & (total > 0.0)
+
+    # Stable compaction: kept samples (depth order) first, dropped samples
+    # (nearest first) as pad; slice the first m lanes.
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (n, s))
+    key = jnp.where(keep, pos, pos + s)
+    _, z_sel, delta_sel = jax.lax.sort(
+        (key, z_all, delta_full), dimension=-1, num_keys=1)
+    return z_sel[:, :m], delta_sel[:, :m]

@@ -296,3 +296,65 @@ def test_render_rays_eval_keep_samples_smoke():
     out_t = render_rays(model, params, o, d, bounds, jax.random.key(1), cfg_k,
                         train=True)
     assert out_t.z.shape == (16, 16)
+
+
+def test_topm_eval_select_termination_drops_deepest_over_budget():
+    """When more samples survive the keep rule than m, the DEEPEST go first
+    (early-termination semantics): uniform mass keeps everything, so the
+    compaction must return the nearest m in depth order."""
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.ops.sampling import topm_eval_select
+
+    n, s = 3, 16
+    z = jnp.broadcast_to(jnp.linspace(1.0, 16.0, s)[None], (n, s))
+    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+    w = jnp.ones((n, s - 2))
+    z_sel, delta = topm_eval_select(z, z_mid, w, m=4)
+    assert jnp.allclose(z_sel, z[:, :4])
+    assert jnp.allclose(delta, 1.0)  # full-set local spacing throughout
+
+
+def test_topm_eval_select_zero_mass_ray_keeps_nearest():
+    """A ray with no coarse mass anywhere (pure background) keeps its
+    nearest m samples — nothing to terminate on, nothing to cull."""
+    import jax.numpy as jnp
+
+    from panopticnerf_tpu.ops.sampling import topm_eval_select
+
+    n, s = 2, 12
+    z = jnp.broadcast_to(jnp.linspace(0.0, 11.0, s)[None], (n, s))
+    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+    w = jnp.zeros((n, s - 2))
+    z_sel, _ = topm_eval_select(z, z_mid, w, m=5)
+    assert jnp.allclose(z_sel, z[:, :5])
+
+
+def test_topm_eval_select_kept_samples_stay_depth_ordered():
+    """Surviving (non-pad) samples must keep ascending depth — compositing
+    transmittance is order-dependent for samples that carry density."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panopticnerf_tpu.ops.sampling import topm_eval_select
+
+    rng = np.random.default_rng(3)
+    n, s = 8, 24
+    z = jnp.asarray(np.sort(rng.uniform(0.5, 30.0, (n, s)), axis=-1))
+    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+    w = jnp.asarray(rng.uniform(0.0, 1.0, (n, s - 2)) ** 4)
+    m = 10
+    z_sel, _ = topm_eval_select(z, z_mid, w, m=m)
+    # numpy oracle of the keep rule: bin mass per sample, exclusive cumsum
+    # termination at 0.9995, cull below 1e-4 of total mass.
+    zn, zm, wn = np.asarray(z), np.asarray(z_mid), np.asarray(w)
+    w_bins = np.concatenate([wn[:, :1], wn, wn[:, -1:]], axis=-1)
+    for i in range(n):
+        idx = np.sum(zn[i][:, None] >= zm[i][None, :], axis=-1)
+        prio = w_bins[i][idx]
+        wnorm = prio / prio.sum()
+        spent = np.cumsum(wnorm) - wnorm
+        keep = (spent < 0.9995) & (wnorm > 1e-4)
+        expect = list(zn[i][keep][:m])            # kept block, depth order
+        expect += list(zn[i][~keep][: m - len(expect)])  # nearest pads
+        np.testing.assert_allclose(np.asarray(z_sel)[i], expect, rtol=1e-6)
