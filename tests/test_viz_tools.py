@@ -289,3 +289,45 @@ def test_check_data_depth_units(tmp_path):
         np.save(os.path.join(sgm, f"{fr:010d}.npy"), good)
     stat, msg = check_data.diagnose_depth_units(root, seq, frames)
     assert stat == "ok" and "3 frames" in msg
+
+
+def test_corrupt_pseudo_structured_noise(tmp_path):
+    """tools/corrupt_pseudo.py: clones a tree with symlinks, repaints ~frac
+    of valid pseudo pixels in coherent blobs with confusable classes, and
+    leaves GT/zero pixels untouched."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import corrupt_pseudo
+
+    rng = np.random.default_rng(0)
+    sem = np.full((64, 128), 11, np.int32)      # building
+    sem[:16] = 23                               # sky band
+    sem[:, :8] = 0                              # invalid margin
+    out, got = corrupt_pseudo.corrupt_map(sem, 0.2, rng)
+    assert out.shape == sem.shape
+    assert 0.1 < got < 0.4                      # near target, blob-quantized
+    assert np.all(out[sem == 0] == 0)           # invalid pixels untouched
+    changed = out != sem
+    assert changed.mean() > 0.05
+    # coherence: changed pixels form blobs, not salt-and-pepper — most
+    # changed pixels have a changed 4-neighbor
+    nb = np.zeros_like(changed)
+    nb[1:] |= changed[:-1]
+    nb[:-1] |= changed[1:]
+    nb[:, 1:] |= changed[:, :-1]
+    nb[:, :-1] |= changed[:, 1:]
+    assert (changed & nb).sum() / changed.sum() > 0.95
+
+    # CLI: clone a mini tree
+    src = tmp_path / "src"
+    (src / "pspnet" / "seq" / "image_00").mkdir(parents=True)
+    (src / "data_2d_semantics").mkdir()
+    np.save(src / "pspnet" / "seq" / "image_00" / "0000000000.npy", sem)
+    dst = tmp_path / "dst"
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "corrupt_pseudo.py"),
+         "--src", str(src), "--dst", str(dst), "--frac", "0.15"],
+        capture_output=True, text=True)
+    assert out2.returncode == 0, out2.stderr
+    assert (dst / "data_2d_semantics").is_symlink()
+    noisy = np.load(dst / "pspnet" / "seq" / "image_00" / "0000000000.npy")
+    assert (noisy != sem).mean() > 0.05
