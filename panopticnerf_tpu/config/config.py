@@ -189,11 +189,16 @@ class LossConfig:
     pseudo_filter: bool = True
     weight_th: float = 0.05
     # Whether the consistency filter ALSO masks the fixed-field 2D CE
-    # (fix2d). The papers describe filtering the *learned*-field supervision;
-    # the geometry-shaping fixed-field CE is left unfiltered by default.
-    # This is a reconstruction choice (reference snapshot has no code) —
-    # ablate with `loss.filter_fix2d True`.
-    filter_fix2d: bool = False
+    # (fix2d). The papers describe filtering the *learned*-field supervision
+    # only; the round-4 ablation (BASELINE.md "late-stage filtering
+    # ablation") measured the unfiltered fixed-field CE as the actual decay
+    # mechanism — a wrong pseudo-label whose class has ~no primitive mass on
+    # the ray pushes density OUT of the true primitives (CE through the
+    # fixed_map normalizer), degrading geometry and PQ^Th in both the clean
+    # and the structured-noise regime. Default ON (+0.015-0.022 PQ over the
+    # unfiltered control at 10k steps, decay eliminated, both regimes);
+    # `loss.filter_fix2d False` restores the papers' described loss stack.
+    filter_fix2d: bool = True
     # Panoptic fusion at eval: blend of learned softmax vs normalized fixed
     # field before the argmax (0 = learned only, 1 = fixed only).
     eval_fixed_blend: float = 0.5
@@ -205,8 +210,11 @@ class LossConfig:
     # or the fixed argmax also disagrees). This reaches exactly where the
     # consistency filter is blind — no-primitive (sky) pixels with noisy
     # pseudo-labels — and only once the field has converged enough to be
-    # trusted, preventing the late-training PQ decay. Default off
-    # (reference-parity loss stack); ablated in BASELINE.md round 4.
+    # trusted. MEASURED NET-NEGATIVE in the round-4 ablation (BASELINE.md):
+    # it identifies noisy pixels (demote_frac tracks the injected noise
+    # rate) but removing them after agree_start does not undo the early
+    # memorization, and on clean data it subtracts true supervision
+    # (-0.01 PQ both regimes). Kept for ablation; default off.
     agree_filter: bool = False
     agree_conf: float = 0.9
     agree_start: float = 0.5       # fraction of train.max_steps
@@ -216,8 +224,10 @@ class LossConfig:
     # [weight_th_anneal_start * max_steps, max_steps]. Late in training the
     # model fits the clean signal and the residual 2D CE is dominated by
     # pseudo-label noise — a stricter consistency bar then drops more noise
-    # than signal. Traced like sem_scale (one jit serves the whole
-    # schedule). Disabled when weight_th_final < 0.
+    # than signal. MEASURED NET-NEGATIVE in the round-4 ablation
+    # (BASELINE.md): the late bar drops thin/distant true supervision
+    # faster than noise in both regimes (-0.02 PQ at final 0.3). Kept for
+    # ablation; disabled when weight_th_final < 0 (default).
     weight_th_final: float = -1.0
     weight_th_anneal_start: float = 0.5
 
