@@ -194,44 +194,45 @@ def topm_eval_select(
     w_interior: jnp.ndarray,
     m: int,
     last_delta: float = 1e10,
-    term_frac: float = 0.9995,
-    cull_frac: float = 1e-4,
 ):
-    """Keep the m most promising depths of the merged eval set (forward-only).
+    """Keep the m highest-coarse-weight depths of the merged eval set
+    (forward-only).
 
     The TPU-shaped form of early ray termination + empty-space culling
     (VERDICT round-3 item 2): instead of data-dependent loop exits — which
-    jit cannot express without per-ray dynamic shapes — drop every merged
-    sample whose coarse-pass evidence says the fine MLP query is wasted,
-    and statically compact the survivors to m slots:
+    jit cannot express without per-ray dynamic shapes — rank every merged
+    sample by its coarse bin WEIGHT (alpha x transmittance) and statically
+    keep the top m. The coarse weight already prices both exit conditions:
+    post-surface bins carry ~zero weight because transmittance is spent
+    (early termination), and gap bins carry ~zero weight because alpha is
+    ~zero there (empty-space culling). Fine (importance) samples sit in
+    high-weight bins by construction and survive; dropped samples carry
+    ~zero composited contribution, which is what makes truncation exact
+    (see tests).
 
-      * early termination: samples past the depth where the coarse pass has
-        already spent `term_frac` of its transmittance budget (cumulative
-        normalized bin mass) — post-surface points;
-      * empty-space culling: samples in bins carrying less than `cull_frac`
-        of the ray's total mass — gap points between primitives.
-
-    Fine (importance) samples sit in high-mass pre-surface bins by
-    construction and survive. When fewer than m samples survive, the
-    nearest dropped samples pad the output (they carry ~zero density, so
-    they change nothing — the same invariant that makes truncation exact,
-    see tests); when more survive, the deepest go first (termination).
+    A mid-round-4 variant replaced the weight ranking with explicit
+    threshold tests (cumulative-budget termination + mass culling, then
+    truncate the DEEPEST survivors past m). Measured worse (-0.4 dB at
+    keep=96 on the committed checkpoint, BASELINE.md round-4 keep-M table):
+    when more than m samples pass the thresholds, depth truncation cuts
+    samples the ray is still transmitting to, while weight ranking cuts the
+    lowest-contribution samples wherever they sit. This restores the
+    original top-M-by-weight semantics.
 
     Implementation note (round-4 full-res measurement): the original
     top_k(prio, m) + index-sort + 3x take_along_axis formulation REGRESSED
     2x at 376x1408 (529k rays) — lane-axis gathers are the documented v5e
     poison pattern (CLAUDE.md; sample_pdf above avoids them the same way).
-    This form needs no gather at all: the bin-mass lookup is a one-hot
-    mul-reduce, the keep decision is a lane cumsum + compares, and the
-    compaction is ONE stable multi-operand lax.sort on a keep-then-position
-    key followed by a static slice. Kept samples stay depth-ordered; pad
-    samples land after them (order only matters for occlusion, and pads
-    are ~zero-density by the same invariant).
+    This form needs no gather at all: the bin-weight lookup is a one-hot
+    mul-reduce, and the selection is two stable multi-operand lax.sorts —
+    rank by descending weight (stability breaks ties nearest-first, same as
+    top_k), slice the first m lanes, re-sort those by depth for
+    compositing order.
 
     z_all: (N, S) sorted merged depths; z_mid: (N, Sc-1) coarse bin edges;
-    w_interior: (N, Sc-2) coarse interior bin masses (the sample_pdf inputs).
-    Returns (z_sel, delta_sel): (N, m) depths + integration deltas taken
-    from the FULL set, so a skipped gap contributes zero instead of
+    w_interior: (N, Sc-2) coarse interior bin weights (the sample_pdf
+    inputs). Returns (z_sel, delta_sel): (N, m) depths + integration deltas
+    taken from the FULL set, so a skipped gap contributes zero instead of
     stretching the preceding sample's alpha.
     """
     n, s = z_all.shape
@@ -240,9 +241,9 @@ def topm_eval_select(
     delta_full = jnp.concatenate(
         [jnp.diff(z_all, axis=-1),
          jnp.full((n, 1), last_delta, z_all.dtype)], axis=-1)
-    # Bin mass at each depth via one-hot mul-reduce (no lane gather). The
+    # Bin weight at each depth via one-hot mul-reduce (no lane gather). The
     # two boundary bins (before the first / after the last midpoint)
-    # inherit their neighbor's mass.
+    # inherit their neighbor's weight.
     w_bins = jnp.concatenate(
         [w_interior[:, :1], w_interior, w_interior[:, -1:]], axis=-1)
     bin_idx = jnp.sum(z_all[:, :, None] >= z_mid[:, None, :], axis=-1)
@@ -250,18 +251,10 @@ def topm_eval_select(
     onehot = (bin_idx[..., None] == iota_b).astype(z_all.dtype)  # (N, S, B)
     prio = jnp.sum(onehot * w_bins[:, None, :], axis=-1)         # (N, S)
 
-    total = jnp.sum(prio, axis=-1, keepdims=True)
-    w_norm = prio / jnp.maximum(total, 1e-12)
-    spent_before = jnp.cumsum(w_norm, axis=-1) - w_norm          # exclusive
-    keep = (spent_before < term_frac) & (w_norm > cull_frac)
-    # Rays with no coarse mass anywhere (pure background) keep their
-    # nearest m samples — same tie behavior as top_k on all-zero prio.
-    keep = keep & (total > 0.0)
-
-    # Stable compaction: kept samples (depth order) first, dropped samples
-    # (nearest first) as pad; slice the first m lanes.
-    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (n, s))
-    key = jnp.where(keep, pos, pos + s)
-    _, z_sel, delta_sel = jax.lax.sort(
-        (key, z_all, delta_full), dimension=-1, num_keys=1)
-    return z_sel[:, :m], delta_sel[:, :m]
+    # Top-m by weight: stable sort on -prio keeps ties in depth order
+    # (nearest-first, matching top_k), then re-sort the kept m by depth.
+    _, z_top, d_top = jax.lax.sort(
+        (-prio, z_all, delta_full), dimension=-1, num_keys=1)
+    z_sel, delta_sel = jax.lax.sort(
+        (z_top[:, :m], d_top[:, :m]), dimension=-1, num_keys=1)
+    return z_sel, delta_sel

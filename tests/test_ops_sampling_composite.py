@@ -299,9 +299,9 @@ def test_render_rays_eval_keep_samples_smoke():
 
 
 def test_topm_eval_select_termination_drops_deepest_over_budget():
-    """When more samples survive the keep rule than m, the DEEPEST go first
-    (early-termination semantics): uniform mass keeps everything, so the
-    compaction must return the nearest m in depth order."""
+    """Uniform weight ties everything: the stable ranking must break ties
+    nearest-first (matching top_k), returning the nearest m in depth
+    order."""
     import jax.numpy as jnp
 
     from panopticnerf_tpu.ops.sampling import topm_eval_select
@@ -345,16 +345,13 @@ def test_topm_eval_select_kept_samples_stay_depth_ordered():
     w = jnp.asarray(rng.uniform(0.0, 1.0, (n, s - 2)) ** 4)
     m = 10
     z_sel, _ = topm_eval_select(z, z_mid, w, m=m)
-    # numpy oracle of the keep rule: bin mass per sample, exclusive cumsum
-    # termination at 0.9995, cull below 1e-4 of total mass.
+    # numpy oracle of the keep rule: bin weight per sample, top-m by weight
+    # with nearest-first tie break, output in depth order.
     zn, zm, wn = np.asarray(z), np.asarray(z_mid), np.asarray(w)
     w_bins = np.concatenate([wn[:, :1], wn, wn[:, -1:]], axis=-1)
     for i in range(n):
         idx = np.sum(zn[i][:, None] >= zm[i][None, :], axis=-1)
         prio = w_bins[i][idx]
-        wnorm = prio / prio.sum()
-        spent = np.cumsum(wnorm) - wnorm
-        keep = (spent < 0.9995) & (wnorm > 1e-4)
-        expect = list(zn[i][keep][:m])            # kept block, depth order
-        expect += list(zn[i][~keep][: m - len(expect)])  # nearest pads
+        top = np.argsort(-prio, kind="stable")[:m]
+        expect = np.sort(zn[i][top])
         np.testing.assert_allclose(np.asarray(z_sel)[i], expect, rtol=1e-6)
