@@ -129,6 +129,9 @@ def flagship_cfg():
     # full 376x1408 scale in BASELINE.md round-4).
     cfg.model.coarse_trunk_depth = 4
     cfg.model.coarse_trunk_width = 128
+    # Round-4 shipped default: eval-only top-M truncation at quality parity
+    # (BASELINE.md round-4 keep-M table). Train path is unaffected.
+    cfg.render.eval_keep_samples = 96
     cfg.train.lr = 5e-4
     if TINY:
         cfg.data.synthetic_image_hw = (24, 32)
