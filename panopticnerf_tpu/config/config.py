@@ -57,6 +57,15 @@ class DataConfig:
     # judge and which drives the long-run mIoU/PQ decay (BASELINE.md
     # ablation). 0 = off; 2-3 are sensible values.
     pseudo_clean_neighbors: int = 0
+    # Multi-view pseudo-label fusion (-360 refined filtering, reconstructed):
+    # unproject each labeled pixel through its SGM depth, reproject into
+    # perspective views within +-this many frames (stereo pair included),
+    # depth-verify the correspondence (occlusion test), and demote labels
+    # that lose the majority vote among verified voters. Targets COHERENT
+    # per-view segmenter errors (blobs) that both the spatial clean and the
+    # in-loss consistency filter pass through (BASELINE.md round-4
+    # structured-noise ablation). Load-time, host-side. 0 = off.
+    pseudo_cross_view: int = 0
     # Ray batching.
     n_rays: int = 2048             # rays per train batch (per step, global)
     # Views per batch: 0 = fully mixed (every ray draws a view); G > 0 =

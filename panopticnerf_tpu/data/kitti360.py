@@ -339,7 +339,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
     images, Ks, c2ws, pseudos, depths = [], [], [], [], []
     pw2p, psem, pinst, pvalid, pplanes = [], [], [], [], []
     gt_sems, gt_insts = [], []
-    cam_models, fisheye_ps, valid_masks = [], [], []
+    cam_models, fisheye_ps, valid_masks, view_frames = [], [], [], []
     any_gt = False
     any_fisheye = False
     truncated_frames: list[tuple[int, int]] = []
@@ -403,6 +403,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
             images.append(img)
             Ks.append(K.astype(np.float32))
             c2ws.append(c2w.astype(np.float32))
+            view_frames.append(frame)
             if is_fisheye:
                 any_fisheye = True
                 fp = fisheye_params_scaled(fc, hw)
@@ -466,6 +467,16 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
             f"(holes in the fixed semantic field otherwise).",
             stacklevel=2,
         )
+
+    if dc.pseudo_cross_view > 0 and dc.use_pspnet and dc.use_depth:
+        from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+        pseudos = list(cross_view_clean(
+            np.stack(pseudos), np.stack(depths),
+            np.stack(Ks), np.stack(c2ws),
+            np.asarray(view_frames, np.int64),
+            np.asarray(cam_models, np.int32) == 0,
+            window=dc.pseudo_cross_view))
 
     images = np.stack(images)
     cam_pos = np.stack(c2ws)[:, :, 3]

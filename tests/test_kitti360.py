@@ -578,3 +578,21 @@ def test_visible_id_ordinal_expands_concave_pieces(tmp_path):
         ordinal_of.setdefault(b.ordinal, []).append(i)
     resolved = [i for v in vis.tolist() for i in ordinal_of.get(v, [])]
     assert resolved == list(range(len(boxes)))
+
+
+def test_pseudo_cross_view_loader_smoke(fake_root):
+    """data.pseudo_cross_view engages at load time without disturbing the
+    fixture's consistent labels (agreeing votes never demote), and the
+    no-depth stereo-right views pass through untouched."""
+    base = build_kitti360_dataset(_cfg(fake_root))
+    ds = build_kitti360_dataset(_cfg(fake_root, pseudo_cross_view=2))
+    import numpy as np
+
+    a, b = np.asarray(base.pseudo), np.asarray(ds.pseudo)
+    assert a.shape == b.shape
+    # right-cam views (odd indices) have no SGM stream -> bit-identical
+    assert (a[1::2] == b[1::2]).all()
+    # the fixture's pseudo labels are multi-view consistent: demotions may
+    # only come from reprojection rounding at boundaries, never wholesale
+    changed = (a != b).mean()
+    assert changed < 0.05, changed

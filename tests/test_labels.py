@@ -78,3 +78,104 @@ def test_majority_clean_noise_rate_drops():
     clean_kept = ((out == gt) & ~changed).sum() / (~changed).sum()
     assert wrong_kept < 0.1     # >90% of noise removed
     assert clean_kept > 0.97    # <3% of clean labels sacrificed
+
+
+# ---------------------------------------------------------- cross-view clean
+def _pinhole_setup(n_views, H=16, W=20, f=20.0, plane_z=5.0, baselines=None):
+    """n_views pinhole cameras looking down +z at a fronto-parallel plane
+    z=plane_z, translated along x by `baselines`. Returns (labels, depths,
+    Ks, c2ws, frames, persp) with analytically exact RAY-distance depth."""
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32)
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    dirs = np.stack([(us - K[0, 2]) / f, (vs - K[1, 2]) / f,
+                     np.ones_like(us)], -1)
+    ray_depth = plane_z * np.linalg.norm(dirs, axis=-1)   # plane-z -> ray
+    baselines = baselines if baselines is not None else [0.0] * n_views
+    labels = np.zeros((n_views, H, W), np.int32)
+    depths = np.tile(ray_depth[None].astype(np.float32), (n_views, 1, 1))
+    Ks = np.tile(K[None], (n_views, 1, 1))
+    c2ws = np.zeros((n_views, 3, 4), np.float32)
+    for i, b in enumerate(baselines):
+        c2ws[i, :, :3] = np.eye(3)
+        c2ws[i, 0, 3] = b
+    frames = np.zeros(n_views, np.int64)
+    persp = np.ones(n_views, bool)
+    return labels, depths, Ks, c2ws, frames, persp
+
+
+def test_cross_view_clean_demotes_losing_blob_keeps_agreement():
+    """A coherent wrong-label blob in one view is contradicted by two
+    identically-posed clean views and demoted; agreeing pixels, ignored
+    pixels, and depthless pixels are untouched."""
+    from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+    labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(3)
+    labels[0, 4:8, 6:12] = 7       # blob: view 0 says 7, views 1/2 say 0
+    labels[0, 0, 0] = 255          # pre-ignored stays ignored (not voted on)
+    depths[0, 1, 1] = 0.0          # no depth -> cannot be cleaned
+    labels[0, 1, 1] = 9
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=0)
+    assert (out[0, 4:8, 6:12] == 255).all()
+    assert out[0, 0, 0] == 255 and out[0, 1, 1] == 9
+    # everything outside the blob agrees and survives
+    keep = np.ones((16, 20), bool)
+    keep[4:8, 6:12] = False
+    keep[0, 0] = keep[1, 1] = False
+    assert (out[0][keep] == 0).all()
+    # the clean views lose nothing (their 1-vs-1 votes split 1 agree /
+    # 1 disagree inside the blob footprint -> no strict majority)
+    assert (out[1] != 255).all() and (out[2] != 255).all()
+
+
+def test_cross_view_clean_occlusion_blocks_vote():
+    """A voter whose depth disagrees with the projected distance (occluded
+    surface) must not vote: the blob survives when the only would-be
+    voters fail depth verification."""
+    from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+    labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(3)
+    labels[0, 4:8, 6:12] = 7
+    depths[1] *= 0.5               # voters see a much nearer surface
+    depths[2] *= 0.5
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=0)
+    assert (out[0, 4:8, 6:12] == 7).all()
+
+
+def test_cross_view_clean_frame_window_and_fisheye_excluded():
+    from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+    labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(3)
+    labels[0, 4:8, 6:12] = 7
+    frames[:] = [0, 5, 6]          # both voters outside window=2
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=2)
+    assert (out[0, 4:8, 6:12] == 7).all()
+    frames[:] = [0, 1, 2]          # voters in window, but one is fisheye
+    persp[2] = False
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=2)
+    # single remaining voter < min_voters=2 -> still no demotion
+    assert (out[0, 4:8, 6:12] == 7).all()
+    persp[2] = True
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=2)
+    assert (out[0, 4:8, 6:12] == 255).all()
+
+
+def test_cross_view_clean_translated_camera_geometry():
+    """Real parallax: a stereo pair translated along x. The projection must
+    land at the disparity-shifted pixel — verified by demoting exactly the
+    source pixels whose reprojection stays in the voter's image."""
+    from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+    f, plane_z, b = 20.0, 5.0, 2.0
+    labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(
+        2, f=f, plane_z=plane_z, baselines=[0.0, b])
+    labels[0] = 3                  # every vote disagrees
+    labels[1] = 4
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=0, min_voters=1)
+    # view 1 sits at x=+b: a world point at pixel u projects to
+    # u' = u - f*b/z; votes exist only where u' >= 0.
+    disparity = f * b / plane_z    # = 8 px
+    u_min = int(np.ceil(disparity))
+    assert (out[0][:, u_min:] == 255).all()
+    assert (out[0][:, : u_min - 1] == 3).all()

@@ -97,9 +97,17 @@ def main():
     t_step_cf = stage(
         "step coarse+fine (64+64)",
         lambda st: leafsum(step_cf(st, ds, view_ids, key)[0].params), state)
-    step_c = make_train_step(cfg_c, model, donate=False)
-    stage("step coarse-only (64)",
-          lambda st: leafsum(step_c(st, ds, view_ids, key)[0].params), state)
+    # Coarse-only comparator needs its own model/state: the flagship model's
+    # coarse field is proposal-sized (4x128) and the adapter only applies
+    # the small-coarse cfg when a fine field exists (has_fine routing).
+    from panopticnerf_tpu.models import make_network as _mk
+    from panopticnerf_tpu.train import make_train_state as _ms
+
+    model_c = _mk(cfg_c)
+    state_c = _ms(cfg_c, model_c, init_params(model_c, jax.random.key(0)))
+    step_c = make_train_step(cfg_c, model_c, donate=False)
+    stage("step coarse-only (64, 8x256)",
+          lambda st: leafsum(step_c(st, ds, view_ids, key)[0].params), state_c)
 
     # --- forward-only (loss, no grad) ---
     def fwd_loss(params):
