@@ -66,6 +66,24 @@ class DataConfig:
     # in-loss consistency filter pass through (BASELINE.md round-4
     # structured-noise ablation). Load-time, host-side. 0 = off.
     pseudo_cross_view: int = 0
+    # Cross-view vote acceptance: relative depth agreement for a verified
+    # correspondence, and the minimum verified voters before a majority can
+    # demote. Sweepable (round-5 ablation axis).
+    pseudo_xview_tol: float = 0.1
+    pseudo_xview_min_voters: int = 2
+    # Vote mechanism: "pull" unprojects each SOURCE pixel through its own
+    # depth and reads voters at the reprojection (original form — a pixel
+    # without SGM depth, e.g. all of KITTI-360's image_01, can neither vote
+    # nor be cleaned); "splat" z-buffers every depth-carrying view's labeled
+    # points INTO each target view and votes on the landing pixels, so
+    # no-depth views get cleaned and no-depth pixels of depth views do too
+    # (coverage ~2-3x on the KITTI-360 layout; see data/pseudo.py).
+    pseudo_xview_mode: str = "splat"
+    # When > 0: instead of demoting to ignore, REPAINT the losing label to
+    # the majority class when at least this fraction of verified voters
+    # agree on one class (e.g. 0.8). Recovers supervision density where the
+    # wrong label replaced the true one; 0 keeps demote-only semantics.
+    pseudo_xview_repaint: float = 0.0
     # Ray batching.
     n_rays: int = 2048             # rays per train batch (per step, global)
     # Views per batch: 0 = fully mixed (every ray draws a view); G > 0 =
@@ -197,6 +215,17 @@ class LossConfig:
     # composited fixed-field mass on that class exceeds weight_th.
     pseudo_filter: bool = True
     weight_th: float = 0.05
+    # RELATIVE consistency tests, composed with the absolute weight_th bar
+    # (round-4 finding #4: an absolute bar passes a wrong pseudo-label
+    # whenever its class has ANY primitive mass on the ray — overlapping
+    # road/sidewalk boxes make structured blob noise immune to weight_th;
+    # BASELINE.md "late-stage filtering ablation"). With rel_filter_ratio
+    # r > 0 the pseudo class must also hold >= r of the ray's ARGMAX class
+    # mass (margin-to-winner test); with rel_filter_total t > 0 it must
+    # hold >= t of the ray's TOTAL fixed mass. 0 disables each (reference
+    # parity — the papers describe only the absolute bar).
+    rel_filter_ratio: float = 0.0
+    rel_filter_total: float = 0.0
     # Whether the consistency filter ALSO masks the fixed-field 2D CE
     # (fix2d). The papers describe filtering the *learned*-field supervision
     # only; the round-4 ablation (BASELINE.md "late-stage filtering

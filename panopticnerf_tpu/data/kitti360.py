@@ -468,15 +468,29 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
             stacklevel=2,
         )
 
-    if dc.pseudo_cross_view > 0 and dc.use_pspnet and dc.use_depth:
-        from panopticnerf_tpu.data.pseudo import cross_view_clean
+    if dc.pseudo_cross_view > 0:
+        if not (dc.use_pspnet and dc.use_depth):
+            import warnings
 
-        pseudos = list(cross_view_clean(
-            np.stack(pseudos), np.stack(depths),
-            np.stack(Ks), np.stack(c2ws),
-            np.asarray(view_frames, np.int64),
-            np.asarray(cam_models, np.int32) == 0,
-            window=dc.pseudo_cross_view))
+            warnings.warn(
+                "data.pseudo_cross_view > 0 requires use_pspnet and "
+                "use_depth — cross-view fusion skipped (no pseudo-labels "
+                "or no depth streams to verify against).",
+                stacklevel=2,
+            )
+        else:
+            from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+            pseudos = list(cross_view_clean(
+                np.stack(pseudos), np.stack(depths),
+                np.stack(Ks), np.stack(c2ws),
+                np.asarray(view_frames, np.int64),
+                np.asarray(cam_models, np.int32) == 0,
+                window=dc.pseudo_cross_view,
+                tol=dc.pseudo_xview_tol,
+                min_voters=dc.pseudo_xview_min_voters,
+                mode=dc.pseudo_xview_mode,
+                repaint=dc.pseudo_xview_repaint))
 
     images = np.stack(images)
     cam_pos = np.stack(c2ws)[:, :, 3]

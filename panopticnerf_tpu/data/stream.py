@@ -69,6 +69,7 @@ class ViewWindowStreamer:
         self._lock = threading.Lock()
         self._next: Optional[tuple[DeviceDataset, np.ndarray]] = None
         self._thread: Optional[threading.Thread] = None
+        self.refreshes = 0  # completed advance() swaps (run-record evidence)
         ids = self._draw()
         self._current = (self.host.window(ids), ids)
         self._start_prefetch()
@@ -98,5 +99,6 @@ class ViewWindowStreamer:
             assert self._next is not None
             self._current = self._next
             self._next = None
+        self.refreshes += 1
         self._start_prefetch()
         return self._current

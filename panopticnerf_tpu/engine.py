@@ -265,7 +265,9 @@ def run_train(cfg: Config, max_steps: int | None = None, log=print) -> dict:
                         "test_ids": test_ids, "metrics": last_metrics,
                         "preempted": True}
             if streamer is not None and step > 0 and step % cfg.data.stream_refresh_steps == 0:
-                ds, _ = streamer.advance()
+                ds, win_ids = streamer.advance()
+                log(f"stream window refresh #{streamer.refreshes} @step {step}: "
+                    f"{len(win_ids)} views [{win_ids.min()}..{win_ids.max()}]")
             state, stats = step_fn(state, ds, view_ids, key)
             rays_done += cfg.data.n_rays
             if (step + 1) % tc.log_interval == 0:

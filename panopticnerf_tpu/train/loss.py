@@ -126,6 +126,17 @@ def compute_losses(
         if lc.pseudo_filter:
             th = lc.weight_th if weight_th is None else weight_th
             consistent = class_mass > th
+            # Relative tests (loss.rel_filter_ratio / rel_filter_total):
+            # the absolute bar alone passes any wrong class with SOME
+            # primitive mass on the ray (overlapping boxes) — the round-4
+            # structured-noise PQ^St floor. Requiring the pseudo class to
+            # hold a share of the argmax/total mass breaks exactly that tie.
+            if lc.rel_filter_ratio > 0:
+                consistent &= class_mass >= (
+                    lc.rel_filter_ratio * jnp.max(fixed_map, axis=-1))
+            if lc.rel_filter_total > 0:
+                consistent &= class_mass >= (
+                    lc.rel_filter_total * jnp.sum(fixed_map, axis=-1))
             # no-primitive rays (sky etc.) keep their pseudo supervision
             keep = has_pseudo & (consistent | ~ray_has_prims)
         else:

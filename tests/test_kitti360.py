@@ -582,17 +582,26 @@ def test_visible_id_ordinal_expands_concave_pieces(tmp_path):
 
 def test_pseudo_cross_view_loader_smoke(fake_root):
     """data.pseudo_cross_view engages at load time without disturbing the
-    fixture's consistent labels (agreeing votes never demote), and the
-    no-depth stereo-right views pass through untouched."""
+    fixture's consistent labels (agreeing votes never demote wholesale).
+    In pull mode the no-depth stereo-right views pass through untouched;
+    in splat mode (default) they are cleaned too — that coverage is the
+    mode's reason to exist."""
     base = build_kitti360_dataset(_cfg(fake_root))
-    ds = build_kitti360_dataset(_cfg(fake_root, pseudo_cross_view=2))
     import numpy as np
 
-    a, b = np.asarray(base.pseudo), np.asarray(ds.pseudo)
+    a = np.asarray(base.pseudo)
+    ds_pull = build_kitti360_dataset(
+        _cfg(fake_root, pseudo_cross_view=2, pseudo_xview_mode="pull"))
+    b = np.asarray(ds_pull.pseudo)
     assert a.shape == b.shape
-    # right-cam views (odd indices) have no SGM stream -> bit-identical
+    # pull: right-cam views (odd indices, no SGM stream) -> bit-identical
     assert (a[1::2] == b[1::2]).all()
+    assert (a != b).mean() < 0.05
+
+    ds_splat = build_kitti360_dataset(_cfg(fake_root, pseudo_cross_view=2))
+    c = np.asarray(ds_splat.pseudo)
     # the fixture's pseudo labels are multi-view consistent: demotions may
     # only come from reprojection rounding at boundaries, never wholesale
-    changed = (a != b).mean()
-    assert changed < 0.05, changed
+    assert (a != c).mean() < 0.05, (a != c).mean()
+    # splat only ever demotes (repaint off) — never authors new labels
+    assert ((c == a) | (c == 255)).all()

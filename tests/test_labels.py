@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from panopticnerf_tpu.data import labels as L
 
@@ -105,17 +106,18 @@ def _pinhole_setup(n_views, H=16, W=20, f=20.0, plane_z=5.0, baselines=None):
 
 
 def test_cross_view_clean_demotes_losing_blob_keeps_agreement():
-    """A coherent wrong-label blob in one view is contradicted by two
-    identically-posed clean views and demoted; agreeing pixels, ignored
-    pixels, and depthless pixels are untouched."""
+    """PULL mode: a coherent wrong-label blob in one view is contradicted
+    by two identically-posed clean views and demoted; agreeing pixels,
+    ignored pixels, and depthless pixels are untouched."""
     from panopticnerf_tpu.data.pseudo import cross_view_clean
 
     labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(3)
     labels[0, 4:8, 6:12] = 7       # blob: view 0 says 7, views 1/2 say 0
     labels[0, 0, 0] = 255          # pre-ignored stays ignored (not voted on)
-    depths[0, 1, 1] = 0.0          # no depth -> cannot be cleaned
+    depths[0, 1, 1] = 0.0          # no depth -> pull cannot clean it
     labels[0, 1, 1] = 9
-    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=0)
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=0, mode="pull")
     assert (out[0, 4:8, 6:12] == 255).all()
     assert out[0, 0, 0] == 255 and out[0, 1, 1] == 9
     # everything outside the blob agrees and survives
@@ -128,39 +130,103 @@ def test_cross_view_clean_demotes_losing_blob_keeps_agreement():
     assert (out[1] != 255).all() and (out[2] != 255).all()
 
 
+def test_cross_view_clean_splat_cleans_depthless_pixels_and_views():
+    """SPLAT mode's reason to exist: pixels (and whole views) WITHOUT a
+    depth stream are still cleaned, because votes are pushed from the
+    depth-carrying views' splats instead of pulled through own depth.
+    Mirrors the KITTI-360 layout where only image_00 has SGM."""
+    from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+    labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(4)
+    depths[3] = 0.0                # view 3: no depth stream at all
+    labels[3, 4:8, 6:12] = 7       # blob in the depthless view
+    depths[0, 1, 1] = 0.0          # depth hole inside a depth view
+    labels[0, 1, 1] = 9
+    labels[3, 0, 0] = 255          # ignore is never voted back to a label
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=0, mode="splat")
+    assert (out[3, 4:8, 6:12] == 255).all()    # depthless view cleaned
+    assert out[0, 1, 1] == 255                 # depth-hole pixel cleaned
+    assert out[3, 0, 0] == 255
+    # depthless view contributed no votes: depth views keep their labels
+    assert (out[1] == 0).all() and (out[2] == 0).all()
+
+
 def test_cross_view_clean_occlusion_blocks_vote():
-    """A voter whose depth disagrees with the projected distance (occluded
-    surface) must not vote: the blob survives when the only would-be
-    voters fail depth verification."""
+    """PULL mode: a voter whose depth disagrees with the projected distance
+    (occluded surface) must not vote: the blob survives when the only
+    would-be voters fail depth verification."""
     from panopticnerf_tpu.data.pseudo import cross_view_clean
 
     labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(3)
     labels[0, 4:8, 6:12] = 7
     depths[1] *= 0.5               # voters see a much nearer surface
     depths[2] *= 0.5
-    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=0)
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=0, mode="pull")
     assert (out[0, 4:8, 6:12] == 7).all()
 
 
-def test_cross_view_clean_frame_window_and_fisheye_excluded():
+def test_cross_view_clean_splat_zbuffer_occlusion():
+    """SPLAT mode: a far splat hidden behind a nearer splat at the same
+    target pixel must not vote (z-buffer visibility test)."""
+    from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+    labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(4)
+    labels[0, 4:8, 6:12] = 7       # target blob
+    # views 1+2: NEAR surface with the blob's label (the visible voters)
+    depths[1] *= 0.5
+    labels[1] = 7
+    depths[2] *= 0.5
+    labels[2] = 7
+    # view 3: far surface (z=plane) labeled 0 — occluded by the near splats
+    labels[3] = 0
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=0, mode="splat")
+    # visible voters agree with the blob; the far disagreeing splat is
+    # z-buffered out -> blob survives
+    assert (out[0, 4:8, 6:12] == 7).all()
+
+
+def test_cross_view_clean_splat_repaint():
+    """repaint > 0: a losing label is REPLACED by the voters' class when
+    they concentrate enough; demoted to ignore otherwise."""
+    from panopticnerf_tpu.data.pseudo import cross_view_clean
+
+    labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(4)
+    labels[0, 4:8, 6:12] = 7       # unanimous voters say 0 -> repaint to 0
+    labels[0, 10, 3] = 5           # split voters (0, 0, 9): majority 0 at
+    labels[1, 10, 3] = 9           # 2/3 < 0.8 -> demote to ignore
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=0, mode="splat", repaint=0.8)
+    assert (out[0, 4:8, 6:12] == 0).all()
+    assert out[0, 10, 3] == 255
+
+
+@pytest.mark.parametrize("mode", ["pull", "splat"])
+def test_cross_view_clean_frame_window_and_fisheye_excluded(mode):
     from panopticnerf_tpu.data.pseudo import cross_view_clean
 
     labels, depths, Ks, c2ws, frames, persp = _pinhole_setup(3)
     labels[0, 4:8, 6:12] = 7
     frames[:] = [0, 5, 6]          # both voters outside window=2
-    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=2)
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=2, mode=mode)
     assert (out[0, 4:8, 6:12] == 7).all()
     frames[:] = [0, 1, 2]          # voters in window, but one is fisheye
     persp[2] = False
-    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=2)
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=2, mode=mode)
     # single remaining voter < min_voters=2 -> still no demotion
     assert (out[0, 4:8, 6:12] == 7).all()
     persp[2] = True
-    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp, window=2)
+    out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
+                           window=2, mode=mode)
     assert (out[0, 4:8, 6:12] == 255).all()
 
 
-def test_cross_view_clean_translated_camera_geometry():
+@pytest.mark.parametrize("mode", ["pull", "splat"])
+def test_cross_view_clean_translated_camera_geometry(mode):
     """Real parallax: a stereo pair translated along x. The projection must
     land at the disparity-shifted pixel — verified by demoting exactly the
     source pixels whose reprojection stays in the voter's image."""
@@ -172,7 +238,7 @@ def test_cross_view_clean_translated_camera_geometry():
     labels[0] = 3                  # every vote disagrees
     labels[1] = 4
     out = cross_view_clean(labels, depths, Ks, c2ws, frames, persp,
-                           window=0, min_voters=1)
+                           window=0, min_voters=1, mode=mode)
     # view 1 sits at x=+b: a world point at pixel u projects to
     # u' = u - f*b/z; votes exist only where u' >= 0.
     disparity = f * b / plane_z    # = 8 px

@@ -99,6 +99,40 @@ def test_pseudo_filter_drops_inconsistent_pixels():
     assert float(stats["loss_sem2d"]) == pytest.approx(expected, rel=1e-5)
 
 
+def test_rel_filter_breaks_overlap_tie():
+    """loss.rel_filter_ratio / rel_filter_total: a wrong pseudo class with
+    SOME primitive mass (overlapping boxes) passes the absolute weight_th
+    bar but fails the relative tests; the dominant class still passes, and
+    the sky rule is untouched (round-4 structured-noise finding #4)."""
+    # ray 0: pseudo = dominant class 1 (mass .6 of max .6)   -> kept
+    # ray 1: pseudo = minority class 2 (mass .2 vs max .6)   -> abs passes,
+    #        rel_ratio .5 fails (.2 < .5*.6), rel_total .4 fails (.2 < .32)
+    # ray 2: no primitives, pseudo 3                          -> sky rule
+    sem_fixed = jnp.asarray([
+        [0.0, 0.6, 0.2, 0.0],
+        [0.0, 0.6, 0.2, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+    ])
+    out = _out(3, sem_fixed=sem_fixed)
+    batch = _batch(3, [1, 2, 3])
+    base = dict(pseudo_filter=True, weight_th=0.05, sem2d_weight=1.0,
+                fix2d_weight=0.0, sem3d_weight=0.0, depth_weight=0.0,
+                rgb_weight=0.0)
+
+    # absolute bar alone: all three kept (the documented blind spot)
+    _, s = compute_losses(out, batch, _cfg(**base))
+    assert float(s["filter_keep_frac"]) * 3 == pytest.approx(3.0)
+    # margin-to-argmax test drops exactly the minority-class pixel
+    _, s = compute_losses(out, batch, _cfg(**base, rel_filter_ratio=0.5))
+    assert float(s["filter_keep_frac"]) * 3 == pytest.approx(2.0)
+    # share-of-total test does too
+    _, s = compute_losses(out, batch, _cfg(**base, rel_filter_total=0.4))
+    assert float(s["filter_keep_frac"]) * 3 == pytest.approx(2.0)
+    # a permissive ratio keeps it (.2 >= .25*.6)
+    _, s = compute_losses(out, batch, _cfg(**base, rel_filter_ratio=0.25))
+    assert float(s["filter_keep_frac"]) * 3 == pytest.approx(3.0)
+
+
 def test_pseudo_filter_off_keeps_everything():
     cfg = _cfg(pseudo_filter=False, sem2d_weight=1.0, fix2d_weight=0.0,
                sem3d_weight=0.0, depth_weight=0.0, rgb_weight=0.0)
