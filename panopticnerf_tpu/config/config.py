@@ -344,6 +344,12 @@ class EvalConfig:
     # evaluator silently skips LPIPS (reference parity for every other
     # metric is unaffected). See docs/MIGRATION.md "LPIPS".
     lpips_weights: str = ""
+    # Panoptic interval-selection rule: "match" prefers intervals whose
+    # primitive class agrees with the fused semantic argmax (shipped —
+    # measured +0.07-0.15 PQ^Th over raw at every blend, BASELINE.md
+    # round-4 PQ^Things diagnosis); "raw" takes the raw mass argmax.
+    # Landing-day pick via tools/landing_sweep.py.
+    fusion_rule: str = "match"
 
 
 @dataclass

@@ -25,7 +25,8 @@ def make_evaluator(cfg, things=None):
 
     return Evaluator(cfg.model.num_classes, things,
                      fixed_blend=cfg.loss.eval_fixed_blend,
-                     lpips_fn=make_lpips(cfg.eval.lpips_weights))
+                     lpips_fn=make_lpips(cfg.eval.lpips_weights),
+                     fusion_rule=cfg.eval.fusion_rule)
 
 
 __all__ = [

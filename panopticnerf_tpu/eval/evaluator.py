@@ -17,11 +17,15 @@ from panopticnerf_tpu.eval.panoptic import fuse_panoptic
 
 class Evaluator:
     def __init__(self, num_classes: int, things: np.ndarray, ignore: int = 255,
-                 fixed_blend: float = 0.5, lpips_fn=None):
+                 fixed_blend: float = 0.5, lpips_fn=None,
+                 fusion_rule: str = "match"):
         self.num_classes = num_classes
         self.things = np.asarray(things, bool)
         self.ignore = ignore
         self.fixed_blend = fixed_blend
+        # "match" = class-agreement-preferring interval selection (shipped);
+        # "raw" = raw mass argmax (eval.fusion_rule; tools/landing_sweep.py).
+        self.fusion_rule = fusion_rule
         # Optional perceptual metric (eval.lpips_weights -> lpips.make_lpips);
         # None = skip (weights are download-gated — see eval/lpips.py).
         self.lpips_fn = lpips_fn
@@ -78,7 +82,8 @@ class Evaluator:
         if out.sem_logits is not None or out.sem_fixed is not None:
             sem, inst = fuse_panoptic(
                 out.sem_logits, out.sem_fixed, out.inst_mass, out.inst_ids,
-                out.inst_sem, self.things, self.fixed_blend,
+                out.inst_sem if self.fusion_rule == "match" else None,
+                self.things, self.fixed_blend,
             )
             sem = np.asarray(sem)
             inst = np.asarray(inst)

@@ -9,10 +9,13 @@ a top-K (nearest-entry) selection yields per-ray fixed-K intervals carrying
 (semantic, instance) ids. Misses are encoded as t_in = +BIG with mask 0 —
 all downstream ops are mask-aware, never shape-dependent.
 
-Primitive representation: every KITTI-360 bounding primitive (cuboids; and
-extruded polygons approximated by their oriented box for now) is an affine
+Primitive representation: every KITTI-360 bounding primitive is an affine
 map `world_to_prim` (3, 4) taking world points into the primitive's local
-frame where the primitive is the unit cube [-1, 1]^3.
+frame where the primitive is the unit cube [-1, 1]^3. Extruded polygons
+arrive as the convex pieces of their exact decomposition
+(data/annotation3d.py), each an OBB optionally refined by `cut_planes`
+half-spaces — so concave annotations intersect exactly, not as a box
+approximation (see Primitives below).
 """
 
 from __future__ import annotations

@@ -38,5 +38,7 @@ def test_bench_floor_reseeds_from_committed_records(tmp_path):
     (tmp_path / "BENCH_r08.json").write_text(json.dumps(
         {"tail": '{"baseline_floor_rays_per_sec": 99.0}'}))
     assert bench._committed_floor(str(tmp_path)) == 123.5
-    # the real repo's records seed at least the round-3 floor
-    assert bench._committed_floor() >= 24413.7
+    # the real repo's committed records seed SOME floor; don't pin the
+    # value — driver records are environment-owned and may be pruned or
+    # regenerated on other setups (advisor round-4 finding).
+    assert bench._committed_floor() > 0

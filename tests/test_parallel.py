@@ -261,3 +261,107 @@ def test_shard_map_kernel_step_trains():
         losses.append(float(stats["loss_total"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+# ------------------------- round-5: the paths real slices run (VERDICT #6)
+def _kitti_cfg(root, n_rays=64):
+    cfg = Config()
+    cfg.data.dataset = "kitti360"
+    cfg.data.root = root
+    cfg.data.frame_start = 0
+    cfg.data.frame_num = 2
+    cfg.data.test_every = 4
+    cfg.data.max_primitives = 16
+    cfg.data.max_intervals = 8
+    cfg.data.n_rays = n_rays
+    cfg.data.views_per_batch = 2
+    cfg.model.num_classes = 19
+    cfg.model.trunk_depth = 2
+    cfg.model.trunk_width = 32
+    cfg.model.color_width = 16
+    cfg.model.compute_dtype = "float32"
+    cfg.render.n_samples = 8
+    cfg.render.near = 0.5
+    cfg.render.far = 40.0
+    cfg.render.use_primitives = True
+    return cfg
+
+
+def test_parallel_step_mixed_fisheye_matches_single(tmp_path):
+    """Joint perspective+fisheye mixed-batch step (the kitti360_360 path)
+    through the mesh must reproduce single-device numerics — per-ray MEI
+    unprojection and FOV-circle validity masking included."""
+    import os
+
+    from panopticnerf_tpu.data.demo_tree import write_demo_tree
+    from panopticnerf_tpu.data.kitti360 import build_kitti360_dataset
+
+    root = str(tmp_path / "fe")
+    os.makedirs(root)
+    write_demo_tree(root, n_frames=2, hw=(16, 24), n_boxes=3, seed=3,
+                    label_noise=0.0, fisheye=True)
+    cfg = _kitti_cfg(root)
+    cfg.data.use_fisheye = True
+    ds = build_kitti360_dataset(cfg)
+    assert int(np.asarray(ds.cam_model).max()) == 1  # fisheye views present
+    view_ids = jnp.arange(ds.images.shape[0])
+    key = jax.random.key(11)
+    model = make_network(cfg)
+    params = init_params(model, jax.random.key(0))
+
+    s1 = make_train_state(cfg, model, params)
+    s1b, stats1 = make_train_step(cfg, model, donate=False)(s1, ds, view_ids, key)
+
+    mesh = make_mesh(cfg)
+    s2 = make_train_state(cfg, model, params)
+    par = make_parallel_train_step(cfg, model, mesh, donate=False)
+    s2b, stats2 = par(s2, ds, view_ids, key)
+
+    np.testing.assert_allclose(
+        float(stats1["loss_total"]), float(stats2["loss_total"]), rtol=1e-4)
+    a = jax.tree.leaves(s1b.params)[0]
+    b = jax.tree.leaves(s2b.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_parallel_step_multi_sequence_stream_window(tmp_path):
+    """Multi-sequence pool + HBM stream window + mesh step (the config-5
+    slice path): windows rotate under the SAME jitted parallel step (equal
+    shapes, no recompile), losses stay finite."""
+    import os
+
+    from panopticnerf_tpu.data import make_dataset
+    from panopticnerf_tpu.data.demo_tree import write_demo_tree
+    from panopticnerf_tpu.data.stream import HostViews, ViewWindowStreamer
+
+    root = str(tmp_path / "ms")
+    os.makedirs(root)
+    write_demo_tree(root, n_frames=2, hw=(16, 24), n_boxes=3, seed=0,
+                    label_noise=0.0, seq="2013_05_28_drive_0000_sync")
+    write_demo_tree(root, n_frames=2, hw=(16, 24), n_boxes=3, seed=1,
+                    label_noise=0.0, seq="2013_05_28_drive_0002_sync")
+    cfg = _kitti_cfg(root)
+    cfg.data.sequences = ["2013_05_28_drive_0000_sync",
+                          "2013_05_28_drive_0002_sync"]
+    cfg.data.stream_window = 4
+    ds, train_ids, _ = make_dataset(cfg)
+    assert ds.images.shape[0] == 8  # 2 seq x 2 frames x stereo
+
+    streamer = ViewWindowStreamer(HostViews.from_device(ds), 4, seed=0,
+                                  include=train_ids)
+    ds_w, ids = streamer.current()
+    assert ds_w.images.shape[0] == 4
+
+    model = make_network(cfg)
+    mesh = make_mesh(cfg)
+    state = make_train_state(cfg, model, init_params(model, jax.random.key(0)))
+    par = make_parallel_train_step(cfg, model, mesh, donate=False)
+    view_ids = jnp.arange(4)
+    losses = []
+    for i in range(3):
+        state, stats = par(state, ds_w, view_ids, jax.random.key(i))
+        losses.append(float(stats["loss_total"]))
+        ds_w, ids = streamer.advance()
+        assert ds_w.images.shape[0] == 4
+    assert streamer.refreshes == 3
+    assert np.isfinite(losses).all()

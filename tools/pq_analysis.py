@@ -52,75 +52,19 @@ def parse_args():
 
 def main():
     args = parse_args()
-    import jax
-
-    from panopticnerf_tpu import engine
     from panopticnerf_tpu.config import make_cfg
-    from panopticnerf_tpu.eval import make_evaluator
     from panopticnerf_tpu.eval.panoptic import fuse_panoptic
-    from panopticnerf_tpu.eval import metrics
+    from panopticnerf_tpu.eval.sweep import cache_gt_views, fusion_sweep
 
     cfg = make_cfg(args)
-    ds, test_ids, model, params, step = engine._restore_for_eval(cfg)
-    mesh = engine._eval_mesh(cfg)
-    render = jax.jit(
-        lambda p, v: engine._render_view(cfg, model, p, ds, v, mesh=mesh))
-
-    ev0 = make_evaluator(cfg)  # for the things table
-    things = ev0.things
-    C = cfg.model.num_classes
-
-    assert ds.gt_sem is not None, "PQ analysis needs GT semantic/instance maps"
-    views = np.nonzero(np.asarray((ds.gt_sem != 255).any(axis=(1, 2))))[0].tolist()
-    print(f"rendering {len(views)} GT views (ckpt step {step})", flush=True)
-
-    cached = []
-    for v in views:
-        out = render(params, int(v))
-        cached.append(dict(
-            sem_logits=np.asarray(out.sem_logits),
-            sem_fixed=np.asarray(out.sem_fixed),
-            inst_mass=np.asarray(out.inst_mass),
-            inst_ids=np.asarray(out.inst_ids),
-            inst_sem=np.asarray(out.inst_sem),
-            gt_sem=np.asarray(ds.gt_sem[v]).reshape(-1),
-            gt_inst=np.asarray(ds.gt_inst[v]).reshape(-1),
-            valid=(np.asarray(ds.valid_mask[v]).reshape(-1)
-                   if ds.valid_mask is not None else None),
-        ))
+    cached, views, step, things, C, ds = cache_gt_views(cfg)
+    print(f"rendered {len(views)} GT views (ckpt step {step})", flush=True)
 
     # ---- sweep: fixed_blend x interval-selection rule -------------------
-    rows = []
-    for rule in ("match", "raw"):
-        for blend in [float(b) for b in args.blends.split(",")]:
-            cm = np.zeros((C, C), np.int64)
-            pq_stats = {"iou_sum": np.zeros(C), "tp": np.zeros(C, np.int64),
-                        "fp": np.zeros(C, np.int64), "fn": np.zeros(C, np.int64)}
-            for c in cached:
-                sem, inst = fuse_panoptic(
-                    c["sem_logits"], c["sem_fixed"], c["inst_mass"],
-                    c["inst_ids"],
-                    c["inst_sem"] if rule == "match" else None,
-                    things, blend)
-                sem, inst = np.asarray(sem), np.asarray(inst)
-                gt_sem = c["gt_sem"]
-                if c["valid"] is not None:
-                    gt_sem = np.where(c["valid"], gt_sem, 255)
-                cm += np.asarray(metrics.confusion_matrix(sem, gt_sem, C))
-                st = metrics.panoptic_quality(
-                    sem, inst, gt_sem, c["gt_inst"], things, C)
-                for k in pq_stats:
-                    pq_stats[k] += st[k]
-            _, miou = metrics.iou_from_confusion(cm)
-            pq = metrics.pq_from_stats(pq_stats)
-            pres = pq["present"]
-            row = {"rule": rule, "blend": blend, "miou": round(miou, 4),
-                   "pq": round(pq["mean_pq"], 4)}
-            for name, sel in (("pq_things", things), ("pq_stuff", ~things)):
-                m = pres & sel[: len(pres)]
-                row[name] = round(float(pq["pq"][m].mean()), 4) if m.any() else None
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+    rows = fusion_sweep(cached, things, C,
+                        [float(b) for b in args.blends.split(",")])
+    for row in rows:
+        print(json.dumps(row), flush=True)
 
     # ---- instance-level misses at the shipped fusion --------------------
     os.makedirs(args.out, exist_ok=True)
