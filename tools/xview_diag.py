@@ -69,7 +69,9 @@ def load_views(cfg_args):
     view_frames = np.repeat(np.arange(n_frames), cams)
     persp = (np.asarray(ds.cam_model) == 0) if ds.cam_model is not None \
         else np.ones(V, bool)
-    return (np.asarray(ds.pseudo), np.asarray(ds.depth), np.asarray(ds.K),
+    gt = (np.asarray(ds.gt_sem) if ds.gt_sem is not None
+          else np.full(ds.pseudo.shape, 255, np.int32))
+    return (np.asarray(ds.pseudo), gt, np.asarray(ds.depth), np.asarray(ds.K),
             np.asarray(ds.c2w), view_frames, persp)
 
 
@@ -94,8 +96,8 @@ def main():
                          "data.pseudo_cross_view", "0"] + list(opts)
 
     t0 = time.time()
-    lab_c, *_ = load_views(A(args.clean))
-    lab_n, depths, Ks, c2ws, view_frames, persp = load_views(A(args.noisy))
+    lab_c, gt, *_ = load_views(A(args.clean))
+    lab_n, _, depths, Ks, c2ws, view_frames, persp = load_views(A(args.noisy))
     print(f"loaded {lab_n.shape} views in {time.time()-t0:.1f}s", flush=True)
 
     labeled = (lab_n != IGNORE) & (lab_c != IGNORE)
@@ -124,10 +126,24 @@ def main():
         painted = changed & (out != IGNORE)
         r_acc = (float((painted & (out == lab_c)).sum() / painted.sum())
                  if painted.any() else None)
+        # GT-referenced split (where GT exists): "erosion" vs the clean
+        # pspnet counts demoting its own iid speckle as a loss; vs GT that
+        # demotion is a WIN. erosion_gt = truly-correct supervision lost.
+        has_gt = (gt != IGNORE) & labeled
+        good = has_gt & (lab_n == gt)
+        bad = has_gt & (lab_n != gt)
+        erosion_gt = (good & changed & (out != gt)).sum() / max(good.sum(), 1)
+        caught_gt = (bad & ((out == IGNORE) | (out == gt)) & changed).sum() \
+            / max(bad.sum(), 1)
+        still_gt = (out != IGNORE) & has_gt
+        residual_gt = ((out != gt) & still_gt).sum() / max(still_gt.sum(), 1)
         row = dict(mode=mode, window=window, tol=tol, min_voters=mv,
                    repaint=rp, caught=round(float(caught), 4),
                    erosion=round(float(erosion), 4),
                    residual=round(float(residual), 4),
+                   caught_gt=round(float(caught_gt), 4),
+                   erosion_gt=round(float(erosion_gt), 4),
+                   residual_gt=round(float(residual_gt), 4),
                    repaint_frac=round(float(painted.sum() / labeled.sum()), 4),
                    repaint_acc=None if r_acc is None else round(r_acc, 4),
                    secs=round(time.time() - t0, 1))
