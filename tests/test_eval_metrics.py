@@ -244,3 +244,35 @@ def test_pq_things_stuff_split():
     assert res["pq_stuff"] == pytest.approx(0.5)  # mean(1.0 perfect, 0.0 FP)
     assert res["pq"] == pytest.approx((1.0 + 0.75 + 0.0) / 3)
     assert "PQ_th: 0.750" in ev.summary_table()
+
+
+def test_evaluator_fusion_rule_raw_vs_match():
+    """eval.fusion_rule plumbing: "match" prefers the interval whose
+    primitive class agrees with the fused semantic argmax; "raw" takes the
+    raw mass argmax — constructed so the two rules pick different
+    instances for the same pixel."""
+    from types import SimpleNamespace
+
+    from panopticnerf_tpu.eval.evaluator import Evaluator
+
+    things = np.array([False, True, True, False])
+    # one pixel: learned says class 1; intervals: id 7 (class 1, mass .3),
+    # id 9 (class 2, mass .6). match -> 7; raw -> 9.
+    out = SimpleNamespace(
+        rgb=np.full((1, 3), 0.5), depth=None,
+        sem_logits=np.array([[0.0, 5.0, 0.0, 0.0]]),
+        sem_fixed=None,
+        inst_mass=np.array([[0.3, 0.6]]),
+        inst_ids=np.array([[7, 9]]),
+        inst_sem=np.array([[1, 2]]),
+    )
+    picks = {}
+    for rule in ("match", "raw"):
+        ev = Evaluator(num_classes=4, things=things, fusion_rule=rule)
+        sem, inst = ev.evaluate(
+            out, gt_rgb=np.full((1, 3), 0.5),
+            gt_sem=np.array([1]), gt_inst=np.array([7]), image_hw=(1, 1),
+        )
+        picks[rule] = (int(sem[0]), int(inst[0]))
+    assert picks["match"] == (1, 7)
+    assert picks["raw"][1] == 9
