@@ -129,9 +129,12 @@ def flagship_cfg():
     # full 376x1408 scale in BASELINE.md round-4).
     cfg.model.coarse_trunk_depth = 4
     cfg.model.coarse_trunk_width = 128
-    # Round-4 shipped default: eval-only top-M truncation at quality parity
-    # (BASELINE.md round-4 keep-M table). Train path is unaffected.
-    cfg.render.eval_keep_samples = 96
+    # Round-5: eval-only keep-M truncation ships DEFAULT OFF — the round-4
+    # quarter-res parity reading did not transfer to the full-res tree
+    # (~4.3 dB PSNR cost at keep 96; BASELINE.md round-5 keep-M
+    # correction). The shipped render_fps measures keep 0; the knob's
+    # throughput is still tracked as render_fps_keep96.
+    cfg.render.eval_keep_samples = 0
     cfg.train.lr = 5e-4
     if TINY:
         cfg.data.synthetic_image_hw = (24, 32)
@@ -362,6 +365,13 @@ def main():
     render_fps_e32 = fps_of(jax.jit(
         lambda p: render_image_rays(model, p, o, d, bounds, cfg_e32, iv=iv)))
 
+    # keep-M truncation as the opt-in knob (default off since round 5 —
+    # scene-dependent PSNR cost; BASELINE.md round-5 keep-M correction).
+    cfg_k96 = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, eval_keep_samples=96))
+    render_fps_k96 = fps_of(jax.jit(
+        lambda p: render_image_rays(model, p, o, d, bounds, cfg_k96, iv=iv)))
+
     # ---------- eager-equivalent baseline: median of repeats ----------
     ds_host = (
         np.asarray(ds.images), np.asarray(ds.K[0]), np.asarray(ds.c2w),
@@ -414,6 +424,7 @@ def main():
         "fused_coarse_only_rays_per_sec": round(fused_coarse_rps, 1),
         "render_fps": round(render_fps, 2),
         "render_fps_eval32": round(render_fps_e32, 2),
+        "render_fps_keep96": round(render_fps_k96, 2),
         "render_image_hw": [h, w],
     }))
 
