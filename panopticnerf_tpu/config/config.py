@@ -350,6 +350,22 @@ class EvalConfig:
     # round-4 PQ^Things diagnosis); "raw" takes the raw mass argmax.
     # Landing-day pick via tools/landing_sweep.py.
     fusion_rule: str = "match"
+    # Empty-ray sky rule. The KITTI-360 3D annotation covers every non-sky
+    # surface by construction (the same prior the train-time consistency
+    # filter's no-primitive exemption encodes, train/loss.py), so at eval a
+    # ray that gathers ~no composited fixed-field mass can only be sky.
+    #   "off"     = reference fusion (default);
+    #   "empty"   = pixels with no composited primitive mass -> sky;
+    #   "support" = additionally restrict the fused argmax to classes with
+    #               per-pixel fixed support (+ sky).
+    # Built for the round-5 PQ^St root cause (a GT-absent hallucinated
+    # class living on no-primitive pixels — BASELINE.md round-5 sections);
+    # measure per scene via tools/landing_sweep.py before enabling.
+    sky_rule: str = "off"
+    # Class id the sky rule assigns; -1 = auto (the labels-table sky
+    # trainId when model.num_classes matches KITTI-360's 19, else class 0 —
+    # the synthetic fixtures' sky/stuff convention).
+    sky_class: int = -1
 
 
 @dataclass

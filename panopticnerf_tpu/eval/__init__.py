@@ -26,7 +26,22 @@ def make_evaluator(cfg, things=None):
     return Evaluator(cfg.model.num_classes, things,
                      fixed_blend=cfg.loss.eval_fixed_blend,
                      lpips_fn=make_lpips(cfg.eval.lpips_weights),
-                     fusion_rule=cfg.eval.fusion_rule)
+                     fusion_rule=cfg.eval.fusion_rule,
+                     sky_rule=cfg.eval.sky_rule,
+                     sky_class=resolve_sky_class(cfg))
+
+
+def resolve_sky_class(cfg) -> int:
+    """eval.sky_class, or the auto default: the labels-table sky trainId
+    when model.num_classes matches KITTI-360's 19, else class 0 (the
+    synthetic fixtures' sky/stuff convention)."""
+    if cfg.eval.sky_class >= 0:
+        return int(cfg.eval.sky_class)
+    from panopticnerf_tpu.data import labels as L
+
+    if cfg.model.num_classes == L.NUM_TRAIN_IDS:
+        return L.TRAINID_NAME.index("sky")
+    return 0
 
 
 __all__ = [
@@ -38,4 +53,5 @@ __all__ = [
     "panoptic_quality",
     "pq_from_stats",
     "psnr",
+    "resolve_sky_class",
 ]

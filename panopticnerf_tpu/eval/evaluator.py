@@ -18,7 +18,8 @@ from panopticnerf_tpu.eval.panoptic import fuse_panoptic
 class Evaluator:
     def __init__(self, num_classes: int, things: np.ndarray, ignore: int = 255,
                  fixed_blend: float = 0.5, lpips_fn=None,
-                 fusion_rule: str = "match"):
+                 fusion_rule: str = "match", sky_rule: str = "off",
+                 sky_class: int = 0):
         self.num_classes = num_classes
         self.things = np.asarray(things, bool)
         self.ignore = ignore
@@ -26,6 +27,9 @@ class Evaluator:
         # "match" = class-agreement-preferring interval selection (shipped);
         # "raw" = raw mass argmax (eval.fusion_rule; tools/landing_sweep.py).
         self.fusion_rule = fusion_rule
+        # Empty-ray sky rule (eval.sky_rule; see eval/panoptic.py docstring).
+        self.sky_rule = sky_rule
+        self.sky_class = sky_class
         # Optional perceptual metric (eval.lpips_weights -> lpips.make_lpips);
         # None = skip (weights are download-gated — see eval/lpips.py).
         self.lpips_fn = lpips_fn
@@ -84,6 +88,7 @@ class Evaluator:
                 out.sem_logits, out.sem_fixed, out.inst_mass, out.inst_ids,
                 out.inst_sem if self.fusion_rule == "match" else None,
                 self.things, self.fixed_blend,
+                sky_rule=self.sky_rule, sky_class=self.sky_class,
             )
             sem = np.asarray(sem)
             inst = np.asarray(inst)

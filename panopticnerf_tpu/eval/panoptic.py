@@ -27,12 +27,26 @@ def fuse_panoptic(
     inst_sem: Optional[jnp.ndarray],     # (N, K) interval semantic ids
     things: np.ndarray,                  # (C,) bool thing-class table
     fixed_blend: float = 0.5,
+    sky_rule: str = "off",
+    sky_class: Optional[int] = None,
+    empty_eps: float = 1e-4,
 ):
     """Returns (sem (N,), inst (N,)) int32 device arrays.
 
     `fixed_blend`: convex blend of learned softmax and (normalized) fixed
     distribution before the argmax — the papers fuse both fields for the
     final label transfer; 0 = learned only, 1 = fixed only.
+
+    `sky_rule` (eval.sky_rule): the 3D annotation covers every non-sky
+    surface, so a pixel whose ray gathers no composited fixed mass can only
+    be sky — "empty" relabels such pixels `sky_class`; "support" also
+    zeroes fused probabilities of classes without per-pixel fixed support
+    (sky always kept), confining the argmax to annotation-backed classes.
+    "off" (default) is the reference fusion. Round-5 PQ^St root cause:
+    blob-noise supervision on no-primitive pixels is exempt from the
+    train-time consistency filter, and the learned field alone decides
+    those pixels at eval — a GT-absent class can survive there and zero
+    out its PQ/IoU; this rule removes it without retraining.
     """
     assert sem_logits is not None or sem_fixed is not None
     probs = None
@@ -49,7 +63,20 @@ def fuse_panoptic(
             probs = jnp.where(has_fixed, fixed, 0.0)
         elif fixed_blend > 0:
             probs = jnp.where(has_fixed, (1 - fixed_blend) * probs + fixed_blend * fixed, probs)
+    empty = None
+    if sem_fixed is not None and sky_rule != "off" and sky_class is not None:
+        empty = sem_fixed.sum(-1) <= empty_eps
+        if sky_rule == "support":
+            C = sem_fixed.shape[-1]
+            sky_onehot = jnp.arange(C) == sky_class
+            supported = (sem_fixed > empty_eps) | sky_onehot
+            probs = jnp.where(supported, probs, 0.0)
     sem = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    if empty is not None:
+        # Applies to both modes: on an empty ray "support" leaves only the
+        # sky column, but if its probability is exactly 0 argmax would fall
+        # back to class 0 — pin it explicitly.
+        sem = jnp.where(empty, jnp.int32(sky_class), sem)
 
     things_j = jnp.asarray(np.asarray(things, bool))
     is_thing = things_j[jnp.clip(sem, 0, things_j.shape[0] - 1)]

@@ -55,39 +55,45 @@ def cache_gt_views(cfg):
     return cached, views, step, things, C, ds
 
 
-def fusion_sweep(cached, things, C, blends, rules=("match", "raw")):
-    """Host-side grid over (rule, blend); returns metric rows."""
+def fusion_sweep(cached, things, C, blends, rules=("match", "raw"),
+                 sky_rules=("off",), sky_class=0):
+    """Host-side grid over (rule, blend, sky_rule); returns metric rows.
+
+    `sky_rules`/`sky_class`: eval.sky_rule variants (empty-ray sky prior,
+    eval/panoptic.py) — resolve `sky_class` via eval.resolve_sky_class.
+    """
     from panopticnerf_tpu.eval import metrics
     from panopticnerf_tpu.eval.panoptic import fuse_panoptic
 
     rows = []
-    for rule in rules:
-        for blend in blends:
-            cm = np.zeros((C, C), np.int64)
-            pq_stats = {"iou_sum": np.zeros(C), "tp": np.zeros(C, np.int64),
-                        "fp": np.zeros(C, np.int64), "fn": np.zeros(C, np.int64)}
-            for c in cached:
-                sem, inst = fuse_panoptic(
-                    c["sem_logits"], c["sem_fixed"], c["inst_mass"],
-                    c["inst_ids"],
-                    c["inst_sem"] if rule == "match" else None,
-                    things, blend)
-                sem, inst = np.asarray(sem), np.asarray(inst)
-                gt_sem = c["gt_sem"]
-                if c["valid"] is not None:
-                    gt_sem = np.where(c["valid"], gt_sem, 255)
-                cm += np.asarray(metrics.confusion_matrix(sem, gt_sem, C))
-                st = metrics.panoptic_quality(
-                    sem, inst, gt_sem, c["gt_inst"], things, C)
-                for k in pq_stats:
-                    pq_stats[k] += st[k]
-            _, miou = metrics.iou_from_confusion(cm)
-            pq = metrics.pq_from_stats(pq_stats)
-            pres = pq["present"]
-            row = {"rule": rule, "blend": float(blend),
-                   "miou": round(miou, 4), "pq": round(pq["mean_pq"], 4)}
-            for name, sel in (("pq_things", things), ("pq_stuff", ~things)):
-                m = pres & sel[: len(pres)]
-                row[name] = round(float(pq["pq"][m].mean()), 4) if m.any() else None
-            rows.append(row)
+    for sky in sky_rules:
+        for rule in rules:
+            for blend in blends:
+                cm = np.zeros((C, C), np.int64)
+                pq_stats = {"iou_sum": np.zeros(C), "tp": np.zeros(C, np.int64),
+                            "fp": np.zeros(C, np.int64), "fn": np.zeros(C, np.int64)}
+                for c in cached:
+                    sem, inst = fuse_panoptic(
+                        c["sem_logits"], c["sem_fixed"], c["inst_mass"],
+                        c["inst_ids"],
+                        c["inst_sem"] if rule == "match" else None,
+                        things, blend, sky_rule=sky, sky_class=sky_class)
+                    sem, inst = np.asarray(sem), np.asarray(inst)
+                    gt_sem = c["gt_sem"]
+                    if c["valid"] is not None:
+                        gt_sem = np.where(c["valid"], gt_sem, 255)
+                    cm += np.asarray(metrics.confusion_matrix(sem, gt_sem, C))
+                    st = metrics.panoptic_quality(
+                        sem, inst, gt_sem, c["gt_inst"], things, C)
+                    for k in pq_stats:
+                        pq_stats[k] += st[k]
+                _, miou = metrics.iou_from_confusion(cm)
+                pq = metrics.pq_from_stats(pq_stats)
+                pres = pq["present"]
+                row = {"rule": rule, "blend": float(blend), "sky_rule": sky,
+                       "miou": round(miou, 4), "pq": round(pq["mean_pq"], 4)}
+                for name, sel in (("pq_things", things), ("pq_stuff", ~things)):
+                    m = pres & sel[: len(pres)]
+                    row[name] = round(float(pq["pq"][m].mean()), 4) if m.any() else None
+                rows.append(row)
     return rows

@@ -276,3 +276,118 @@ def test_evaluator_fusion_rule_raw_vs_match():
         picks[rule] = (int(sem[0]), int(inst[0]))
     assert picks["match"] == (1, 7)
     assert picks["raw"][1] == 9
+
+def test_sky_rule_empty_and_support():
+    """eval.sky_rule (round-5 PQ^St root cause fix): pixels whose ray
+    gathers no composited fixed mass relabel to sky; "support" further
+    confines the argmax to classes with per-pixel fixed support (+ sky).
+    Class table: 0=road, 1=car(thing), 2=sidewalk, 3=sky."""
+    from panopticnerf_tpu.eval.panoptic import fuse_panoptic
+
+    things = np.array([False, True, False, False])
+    # Three pixels:
+    #  p0: empty ray (no fixed mass), learned hallucinates sidewalk(2)
+    #  p1: road-only fixed support, learned hallucinates sidewalk(2)
+    #  p2: road+sidewalk overlap, learned says sidewalk — must SURVIVE
+    sem_logits = np.array([
+        [0.0, 0.0, 5.0, 0.0],
+        [1.0, 0.0, 5.0, 0.0],
+        [1.0, 0.0, 5.0, 0.0],
+    ])
+    sem_fixed = np.array([
+        [0.0, 0.0, 0.0, 0.0],
+        [0.5, 0.0, 0.0, 0.5],
+        [0.5, 0.0, 0.4, 0.0],
+    ])
+
+    def fuse(rule):
+        sem, _ = fuse_panoptic(sem_logits, sem_fixed, None, None, None,
+                               things, fixed_blend=0.5,
+                               sky_rule=rule, sky_class=3)
+        return np.asarray(sem).tolist()
+
+    assert fuse("off") == [2, 2, 2]            # reference fusion, blend 0.5
+    assert fuse("empty") == [3, 2, 2]          # only the empty ray flips
+    assert fuse("support") == [3, 0, 2]        # p1 confined to road|sky; p2 kept
+
+
+def test_sky_rule_off_matches_legacy_and_requires_fixed():
+    """sky_rule="off" is bit-identical to the pre-knob fusion, and the rule
+    is a no-op without a fixed field (nothing to read emptiness from)."""
+    from panopticnerf_tpu.eval.panoptic import fuse_panoptic
+
+    things = np.array([False, True, False, False])
+    rng = np.random.RandomState(0)
+    logits = rng.randn(16, 4).astype(np.float32)
+    fixed = np.abs(rng.randn(16, 4)).astype(np.float32)
+    fixed[::3] = 0.0
+    base, _ = fuse_panoptic(logits, fixed, None, None, None, things, 0.5)
+    off, _ = fuse_panoptic(logits, fixed, None, None, None, things, 0.5,
+                           sky_rule="off", sky_class=3)
+    assert np.array_equal(np.asarray(base), np.asarray(off))
+    # no fixed field -> sky_rule silently off
+    nofix, _ = fuse_panoptic(logits, None, None, None, None, things, 0.5,
+                             sky_rule="empty", sky_class=3)
+    assert np.asarray(nofix).shape == (16,)
+
+
+def test_resolve_sky_class_auto():
+    """-1 resolves to the labels-table sky trainId for KITTI-360 class
+    counts and to class 0 for synthetic fixtures; explicit ids pass through."""
+    from panopticnerf_tpu.config import Config
+    from panopticnerf_tpu.data import labels as L
+    from panopticnerf_tpu.eval import resolve_sky_class
+
+    cfg = Config()
+    cfg.model.num_classes = L.NUM_TRAIN_IDS
+    assert resolve_sky_class(cfg) == L.TRAINID_NAME.index("sky")
+    cfg.model.num_classes = 4
+    assert resolve_sky_class(cfg) == 0
+    cfg.eval.sky_class = 2
+    assert resolve_sky_class(cfg) == 2
+
+
+def test_evaluator_sky_rule_plumbing():
+    """make_evaluator carries eval.sky_rule into fusion: a no-fixed-mass
+    pixel whose learned field hallucinates a GT-absent class scores 0 IoU
+    for that class under "off" and flips to sky under "empty"."""
+    from types import SimpleNamespace
+
+    from panopticnerf_tpu.eval.evaluator import Evaluator
+
+    things = np.array([False, True, False, False])
+    out = SimpleNamespace(
+        rgb=np.full((2, 3), 0.5), depth=None,
+        sem_logits=np.array([[0.0, 0.0, 5.0, 0.0], [5.0, 0.0, 0.0, 0.0]]),
+        sem_fixed=np.array([[0.0, 0.0, 0.0, 0.0], [0.9, 0.0, 0.0, 0.0]]),
+        inst_mass=None, inst_ids=None, inst_sem=None,
+    )
+    gt = dict(gt_sem=np.array([3, 0]), gt_inst=np.array([0, 0]))
+    res = {}
+    for rule in ("off", "empty"):
+        ev = Evaluator(num_classes=4, things=things, sky_rule=rule,
+                       sky_class=3)
+        sem, _ = ev.evaluate(out, **gt)
+        res[rule] = np.asarray(sem).tolist()
+    assert res["off"] == [2, 0]    # hallucinated sidewalk on the empty ray
+    assert res["empty"] == [3, 0]  # sky rule removes it
+
+def test_fusion_sweep_sky_rule_grid():
+    """fusion_sweep grids over sky_rules and the rows carry the column —
+    the landing-day pick table covers the round-5 sky-rule knob."""
+    from panopticnerf_tpu.eval.sweep import fusion_sweep
+
+    things = np.array([False, True, False, False])
+    cached = [dict(
+        sem_logits=np.array([[0.0, 0.0, 5.0, 0.0], [5.0, 0.0, 0.0, 0.0]]),
+        sem_fixed=np.array([[0.0, 0.0, 0.0, 0.0], [0.9, 0.0, 0.0, 0.0]]),
+        inst_mass=np.zeros((2, 1)), inst_ids=np.zeros((2, 1), np.int32),
+        inst_sem=np.zeros((2, 1), np.int32),
+        gt_sem=np.array([3, 0]), gt_inst=np.array([0, 0]), valid=None,
+    )]
+    rows = fusion_sweep(cached, things, 4, blends=[0.5], rules=("match",),
+                        sky_rules=("off", "empty"), sky_class=3)
+    by = {r["sky_rule"]: r for r in rows}
+    assert set(by) == {"off", "empty"}
+    # the empty-ray hallucination costs mIoU under "off", not under "empty"
+    assert by["empty"]["miou"] > by["off"]["miou"]

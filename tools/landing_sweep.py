@@ -48,6 +48,9 @@ def parse_args():
                         "directory holding the step checkpoints (the cfg's "
                         "trained_model_dir for that run)")
     p.add_argument("--blends", type=str, default="0,0.25,0.5,0.75,1")
+    p.add_argument("--sky_rules", type=str, default="off,empty,support",
+                   help="eval.sky_rule variants to grid over (empty-ray "
+                        "sky prior — eval/panoptic.py)")
     p.add_argument("--metric", type=str, default="mean",
                    choices=["mean", "pq", "pq_things", "pq_stuff", "miou"])
     p.add_argument("--out", type=str, default="out/landing_sweep.json")
@@ -69,9 +72,11 @@ def score(row, metric):
 def main():
     args = parse_args()
     from panopticnerf_tpu.config import make_cfg
+    from panopticnerf_tpu.eval import resolve_sky_class
     from panopticnerf_tpu.eval.sweep import cache_gt_views, fusion_sweep
 
     blends = [float(b) for b in args.blends.split(",")]
+    sky_rules = tuple(s.strip() for s in args.sky_rules.split(","))
     all_rows, best = [], None
     for spec in args.ckpts.split(","):
         name, _, path = spec.partition("=")
@@ -91,7 +96,8 @@ def main():
         cached, views, step, things, C, _ = cache_gt_views(cfg)
         print(f"[{name}] rendered {len(views)} GT views (step {step})",
               flush=True)
-        rows = fusion_sweep(cached, things, C, blends)
+        rows = fusion_sweep(cached, things, C, blends, sky_rules=sky_rules,
+                            sky_class=resolve_sky_class(cfg))
         for r in rows:
             r = dict(ckpt=name, step=int(step), **r)
             r["score"] = round(score(r, args.metric), 4)
@@ -100,7 +106,8 @@ def main():
         top = max((r for r in all_rows if r["ckpt"] == name),
                   key=lambda r: r["score"])
         print(f"[{name}] pick: rule={top['rule']} blend={top['blend']} "
-              f"({args.metric}={top['score']})", flush=True)
+              f"sky_rule={top['sky_rule']} ({args.metric}={top['score']})",
+              flush=True)
         if best is None or top["score"] > best["score"]:
             best = top
 
@@ -110,11 +117,14 @@ def main():
                   indent=1)
     print(f"\nwrote {args.out}")
     print(f"PICK ckpt={best['ckpt']} rule={best['rule']} "
-          f"blend={best['blend']} -> evaluate with:")
+          f"blend={best['blend']} sky_rule={best['sky_rule']} "
+          f"-> evaluate with:")
     rule_flag = ("eval.fusion_rule " + best["rule"] + " "
                  if best["rule"] != "match" else "")
+    sky_flag = ("eval.sky_rule " + best["sky_rule"] + " "
+                if best["sky_rule"] != "off" else "")
     print(f"  python run.py --type evaluate --cfg_file {args.cfg_file} "
-          f"{rule_flag}loss.eval_fixed_blend {best['blend']}")
+          f"{rule_flag}{sky_flag}loss.eval_fixed_blend {best['blend']}")
     return 0
 
 
