@@ -61,10 +61,19 @@ def fusion_sweep(cached, things, C, blends, rules=("match", "raw"),
 
     `sky_rules`/`sky_class`: eval.sky_rule variants (empty-ray sky prior,
     eval/panoptic.py) — resolve `sky_class` via eval.resolve_sky_class.
+
+    The whole grid runs on the host CPU backend: fuse_panoptic is eager
+    jnp, and on a TPU-attached process each variant would otherwise
+    re-upload the ~80 MB cached fields through the relay per fusion call
+    (measured: the 30-variant grid blows the 40-min budget on the relay,
+    seconds on CPU).
     """
+    import jax
+
     from panopticnerf_tpu.eval import metrics
     from panopticnerf_tpu.eval.panoptic import fuse_panoptic
 
+    cpu = jax.devices("cpu")[0]
     rows = []
     for sky in sky_rules:
         for rule in rules:
@@ -73,11 +82,12 @@ def fusion_sweep(cached, things, C, blends, rules=("match", "raw"),
                 pq_stats = {"iou_sum": np.zeros(C), "tp": np.zeros(C, np.int64),
                             "fp": np.zeros(C, np.int64), "fn": np.zeros(C, np.int64)}
                 for c in cached:
-                    sem, inst = fuse_panoptic(
-                        c["sem_logits"], c["sem_fixed"], c["inst_mass"],
-                        c["inst_ids"],
-                        c["inst_sem"] if rule == "match" else None,
-                        things, blend, sky_rule=sky, sky_class=sky_class)
+                    with jax.default_device(cpu):
+                        sem, inst = fuse_panoptic(
+                            c["sem_logits"], c["sem_fixed"], c["inst_mass"],
+                            c["inst_ids"],
+                            c["inst_sem"] if rule == "match" else None,
+                            things, blend, sky_rule=sky, sky_class=sky_class)
                     sem, inst = np.asarray(sem), np.asarray(inst)
                     gt_sem = c["gt_sem"]
                     if c["valid"] is not None:
