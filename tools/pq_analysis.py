@@ -53,16 +53,20 @@ def parse_args():
 def main():
     args = parse_args()
     from panopticnerf_tpu.config import make_cfg
+    from panopticnerf_tpu.eval import resolve_sky_class
     from panopticnerf_tpu.eval.panoptic import fuse_panoptic
     from panopticnerf_tpu.eval.sweep import cache_gt_views, fusion_sweep
 
     cfg = make_cfg(args)
     cached, views, step, things, C, ds = cache_gt_views(cfg)
+    sky_class = resolve_sky_class(cfg)
     print(f"rendered {len(views)} GT views (ckpt step {step})", flush=True)
 
-    # ---- sweep: fixed_blend x interval-selection rule -------------------
+    # ---- sweep: fixed_blend x interval-selection rule x sky rule --------
     rows = fusion_sweep(cached, things, C,
-                        [float(b) for b in args.blends.split(",")])
+                        [float(b) for b in args.blends.split(",")],
+                        sky_rules=("off", "empty", "support"),
+                        sky_class=sky_class)
     for row in rows:
         print(json.dumps(row), flush=True)
 
@@ -73,7 +77,8 @@ def main():
     for vi, (v, c) in enumerate(zip(views, cached)):
         sem, inst = fuse_panoptic(
             c["sem_logits"], c["sem_fixed"], c["inst_mass"], c["inst_ids"],
-            c["inst_sem"], things, cfg.loss.eval_fixed_blend)
+            c["inst_sem"], things, cfg.loss.eval_fixed_blend,
+            sky_rule=cfg.eval.sky_rule, sky_class=sky_class)
         sem, inst = np.asarray(sem), np.asarray(inst)
         gt_sem, gt_inst = c["gt_sem"], c["gt_inst"]
         valid = (gt_sem != 255) & (gt_sem >= 0) & (gt_sem < C)
