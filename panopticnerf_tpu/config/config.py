@@ -226,6 +226,16 @@ class LossConfig:
     # parity — the papers describe only the absolute bar).
     rel_filter_ratio: float = 0.0
     rel_filter_total: float = 0.0
+    # Train-time twin of eval.sky_rule (round-5 root cause): the
+    # consistency filter exempts no-primitive rays so sky keeps its pseudo
+    # supervision — which also lets wrong labels on empty rays (structured
+    # blob noise in sky regions) train the learned field unfiltered, the
+    # channel that feeds GT-absent-class hallucinations. With
+    # empty_sky_filter True, a no-primitive ray keeps its pseudo label
+    # ONLY if that label IS the sky class (resolved like eval.sky_class
+    # auto mode). Default off = reference parity; measured decision in
+    # BASELINE.md round-5 "empty-sky filter" section.
+    empty_sky_filter: bool = False
     # Whether the consistency filter ALSO masks the fixed-field 2D CE
     # (fix2d). The papers describe filtering the *learned*-field supervision
     # only; the round-4 ablation (BASELINE.md "late-stage filtering

@@ -111,6 +111,16 @@ def _build_tables():
 ) = _build_tables()
 
 
+def sky_train_id(num_classes: int) -> int:
+    """Class id carrying the 'empty space is sky' prior (eval.sky_rule /
+    loss.empty_sky_filter): the labels-table sky trainId when num_classes
+    matches the KITTI-360 table, else class 0 (the synthetic fixtures'
+    sky/stuff convention)."""
+    if num_classes == NUM_TRAIN_IDS:
+        return TRAINID_NAME.index("sky")
+    return 0
+
+
 def ids_to_trainids(sem_ids: np.ndarray) -> np.ndarray:
     """Remap raw KITTI-360 ids -> trainIds (vectorized gather; 255 = ignore)."""
     sem_ids = np.asarray(sem_ids)

@@ -37,11 +37,9 @@ def resolve_sky_class(cfg) -> int:
     synthetic fixtures' sky/stuff convention)."""
     if cfg.eval.sky_class >= 0:
         return int(cfg.eval.sky_class)
-    from panopticnerf_tpu.data import labels as L
+    from panopticnerf_tpu.data.labels import sky_train_id
 
-    if cfg.model.num_classes == L.NUM_TRAIN_IDS:
-        return L.TRAINID_NAME.index("sky")
-    return 0
+    return sky_train_id(cfg.model.num_classes)
 
 
 __all__ = [

@@ -137,8 +137,17 @@ def compute_losses(
             if lc.rel_filter_total > 0:
                 consistent &= class_mass >= (
                     lc.rel_filter_total * jnp.sum(fixed_map, axis=-1))
-            # no-primitive rays (sky etc.) keep their pseudo supervision
-            keep = has_pseudo & (consistent | ~ray_has_prims)
+            # no-primitive rays (sky etc.) keep their pseudo supervision.
+            # With loss.empty_sky_filter, only when the label IS sky —
+            # the round-5 root cause showed this exemption is the channel
+            # that feeds GT-absent-class hallucinations (wrong labels on
+            # empty rays train the learned field unfiltered).
+            empty_ok = ~ray_has_prims
+            if lc.empty_sky_filter:
+                from panopticnerf_tpu.data.labels import sky_train_id
+
+                empty_ok &= batch.pseudo == sky_train_id(num_classes)
+            keep = has_pseudo & (consistent | empty_ok)
         else:
             keep = has_pseudo
         stats["filter_keep_frac"] = _mm(keep.astype(jnp.float32),

@@ -300,3 +300,34 @@ def test_weight_th_schedule():
     assert at(750) == pytest.approx(0.25, abs=1e-6)
     assert at(1000) == pytest.approx(0.45)
     assert at(5000) == pytest.approx(0.45)   # clipped past max_steps
+
+def test_empty_sky_filter_starves_empty_ray_hallucinations():
+    """loss.empty_sky_filter (round-5 root cause): a no-primitive ray keeps
+    its pseudo supervision ONLY when the label is the sky class — wrong
+    labels on empty rays (the channel feeding GT-absent-class
+    hallucinations) are dropped; consistent primitive-ray supervision and
+    true sky labels are untouched. With num_classes=4 the synthetic sky
+    convention resolves to class 0."""
+    sem_fixed = jnp.asarray([
+        [0.0, 0.9, 0.0, 0.0],   # ray 0: pseudo 1 consistent      -> kept
+        [0.0, 0.0, 0.0, 0.0],   # ray 1: empty, pseudo 0 (= sky)  -> kept
+        [0.0, 0.0, 0.0, 0.0],   # ray 2: empty, pseudo 3 (blob)   -> DROPPED
+    ])
+    out = _out(3, sem_fixed=sem_fixed)
+    batch = _batch(3, [1, 0, 3])
+    base = dict(pseudo_filter=True, weight_th=0.05, sem2d_weight=1.0,
+                fix2d_weight=0.0, sem3d_weight=0.0, depth_weight=0.0,
+                rgb_weight=0.0)
+    # reference parity: the sky exemption keeps all three
+    _, s = compute_losses(out, batch, _cfg(**base))
+    assert float(s["filter_keep_frac"]) * 3 == pytest.approx(3.0)
+    # empty_sky_filter drops exactly the wrong-label empty ray
+    _, s = compute_losses(out, batch, _cfg(**base, empty_sky_filter=True))
+    assert float(s["filter_keep_frac"]) * 3 == pytest.approx(2.0)
+
+
+def test_sky_train_id_resolution():
+    from panopticnerf_tpu.data import labels as L
+
+    assert L.sky_train_id(L.NUM_TRAIN_IDS) == L.TRAINID_NAME.index("sky")
+    assert L.sky_train_id(4) == 0
