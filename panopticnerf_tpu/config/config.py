@@ -376,6 +376,11 @@ class EvalConfig:
     # trainId when model.num_classes matches KITTI-360's 19, else class 0 —
     # the synthetic fixtures' sky/stuff convention).
     sky_class: int = -1
+    # Composited fixed-mass threshold below which a ray counts as empty
+    # (and per-class support threshold for "support"). The default matches
+    # the fusion's has-mass epsilon; raise it on scenes where grazing
+    # rays gather spurious trace mass.
+    sky_eps: float = 1e-4
 
 
 @dataclass

@@ -28,7 +28,8 @@ def make_evaluator(cfg, things=None):
                      lpips_fn=make_lpips(cfg.eval.lpips_weights),
                      fusion_rule=cfg.eval.fusion_rule,
                      sky_rule=cfg.eval.sky_rule,
-                     sky_class=resolve_sky_class(cfg))
+                     sky_class=resolve_sky_class(cfg),
+                     sky_eps=cfg.eval.sky_eps)
 
 
 def resolve_sky_class(cfg) -> int:

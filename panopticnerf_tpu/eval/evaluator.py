@@ -19,7 +19,7 @@ class Evaluator:
     def __init__(self, num_classes: int, things: np.ndarray, ignore: int = 255,
                  fixed_blend: float = 0.5, lpips_fn=None,
                  fusion_rule: str = "match", sky_rule: str = "off",
-                 sky_class: int = 0):
+                 sky_class: int = 0, sky_eps: float = 1e-4):
         self.num_classes = num_classes
         self.things = np.asarray(things, bool)
         self.ignore = ignore
@@ -30,6 +30,7 @@ class Evaluator:
         # Empty-ray sky rule (eval.sky_rule; see eval/panoptic.py docstring).
         self.sky_rule = sky_rule
         self.sky_class = sky_class
+        self.sky_eps = sky_eps
         # Optional perceptual metric (eval.lpips_weights -> lpips.make_lpips);
         # None = skip (weights are download-gated — see eval/lpips.py).
         self.lpips_fn = lpips_fn
@@ -89,6 +90,7 @@ class Evaluator:
                 out.inst_sem if self.fusion_rule == "match" else None,
                 self.things, self.fixed_blend,
                 sky_rule=self.sky_rule, sky_class=self.sky_class,
+                empty_eps=self.sky_eps,
             )
             sem = np.asarray(sem)
             inst = np.asarray(inst)
