@@ -340,6 +340,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
     pw2p, psem, pinst, pvalid, pplanes = [], [], [], [], []
     gt_sems, gt_insts = [], []
     cam_models, fisheye_ps, valid_masks, view_frames = [], [], [], []
+    base_positions = []  # per-frame cam0 positions (stream-independent norm)
     any_gt = False
     any_fisheye = False
     truncated_frames: list[tuple[int, int]] = []
@@ -375,6 +376,7 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
                 planes[:n_vis] = prim_planes_all[sel]
 
         c2w0 = c2w0_all[frame][:3]
+        base_positions.append(c2w0[:, 3])
         cams = [("image_00", c2w0)]
         if dc.use_stereo and baseline > 0:
             cams.append(("image_01", stereo_right_c2w(c2w0_all[frame], baseline)[:3]))
@@ -493,9 +495,15 @@ def build_kitti360_dataset(cfg: Config) -> DeviceDataset:
                 repaint=dc.pseudo_xview_repaint))
 
     images = np.stack(images)
-    cam_pos = np.stack(c2ws)[:, :, 3]
     # Scene normalization: center on the camera trajectory, scale so the far
-    # plane maps inside ~[-1, 1] for stable PE.
+    # plane maps inside ~[-1, 1] for stable PE. Derived from the per-frame
+    # cam0 positions ONLY — a property of the sequence window, NOT of which
+    # streams are enabled: normalizing over the loaded view pool made the
+    # model coordinate frame depend on use_stereo/use_fisheye, so a
+    # checkpoint trained with stereo rendered ~16 dB garbage when evaluated
+    # with `use_stereo False` (round-5 dress-rehearsal catch — the doc's
+    # own evaluate command). Same flags -> bitwise-identical normalization.
+    cam_pos = np.stack(base_positions)
     center = cam_pos.mean(0).astype(np.float32)
     radius = float(np.linalg.norm(cam_pos - center, axis=1).max()) + cfg.render.far
     scale = np.float32(1.0 / radius)

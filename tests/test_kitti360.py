@@ -605,3 +605,22 @@ def test_pseudo_cross_view_loader_smoke(fake_root):
     assert (a != c).mean() < 0.05, (a != c).mean()
     # splat only ever demotes (repaint off) — never authors new labels
     assert ((c == a) | (c == 255)).all()
+
+def test_scene_normalization_independent_of_streams(fake_root):
+    """Round-5 dress-rehearsal catch: the scene frame (bounds_center/scale)
+    must be a property of the sequence window, NOT of which camera streams
+    are enabled — a stereo-trained checkpoint evaluated with
+    `use_stereo False` rendered ~16 dB garbage when the normalization
+    averaged over the loaded view pool. cam0-only derivation pins it."""
+    base = build_kitti360_dataset(_cfg(fake_root, use_stereo=False))
+    stereo = build_kitti360_dataset(_cfg(fake_root))
+    np.testing.assert_array_equal(np.asarray(base.bounds_center),
+                                  np.asarray(stereo.bounds_center))
+    np.testing.assert_array_equal(np.asarray(base.bounds_scale),
+                                  np.asarray(stereo.bounds_scale))
+    fe = build_kitti360_dataset(_cfg(fake_root, use_fisheye=True,
+                                     use_depth=False))
+    np.testing.assert_array_equal(np.asarray(base.bounds_center),
+                                  np.asarray(fe.bounds_center))
+    np.testing.assert_array_equal(np.asarray(base.bounds_scale),
+                                  np.asarray(fe.bounds_scale))
