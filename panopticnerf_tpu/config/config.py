@@ -367,7 +367,12 @@ class EvalConfig:
     #   "off"     = reference fusion (default);
     #   "empty"   = pixels with no composited primitive mass -> sky;
     #   "support" = additionally restrict the fused argmax to classes with
-    #               per-pixel fixed support (+ sky).
+    #               per-pixel fixed support (+ sky);
+    #   "soft:<w>" = graded support (w in [0,1]): unsupported classes are
+    #               scaled by (1-w) and empty rays blend toward the sky
+    #               one-hot with weight w, so confident learned
+    #               predictions at annotation-coverage edges survive.
+    #               w=1 == "support", w=0 == "off".
     # Built for the round-5 PQ^St root cause (a GT-absent hallucinated
     # class living on no-primitive pixels — BASELINE.md round-5 sections);
     # measure per scene via tools/landing_sweep.py before enabling.

@@ -47,6 +47,17 @@ def fuse_panoptic(
     train-time consistency filter, and the learned field alone decides
     those pixels at eval — a GT-absent class can survive there and zero
     out its PQ/IoU; this rule removes it without retraining.
+
+    "soft:<w>" (w in [0,1]) is the graded form of "support": instead of a
+    hard mask it scales unsupported-class probabilities by (1-w) and, on
+    empty rays, blends the fused distribution toward the sky one-hot with
+    weight w — so a CONFIDENT learned prediction can overrule the prior.
+    w=1 is bit-equivalent to "support"; w=0 to "off". Built for the
+    measured cost of the hard rules on clean data (annotation-coverage
+    edges where a true non-sky pixel's ray gathers no fixed mass get
+    forced to sky — BASELINE.md round-5 sky-rule section): the learned
+    field is confident exactly there, so a soft prior keeps the
+    noise-regime win while sparing coverage-edge pixels.
     """
     assert sem_logits is not None or sem_fixed is not None
     probs = None
@@ -66,11 +77,17 @@ def fuse_panoptic(
     empty = None
     if sem_fixed is not None and sky_rule != "off" and sky_class is not None:
         empty = sem_fixed.sum(-1) <= empty_eps
+        C = sem_fixed.shape[-1]
+        sky_onehot = jnp.arange(C) == sky_class
+        supported = (sem_fixed > empty_eps) | sky_onehot
         if sky_rule == "support":
-            C = sem_fixed.shape[-1]
-            sky_onehot = jnp.arange(C) == sky_class
-            supported = (sem_fixed > empty_eps) | sky_onehot
             probs = jnp.where(supported, probs, 0.0)
+        elif sky_rule.startswith("soft"):
+            w = float(sky_rule.split(":", 1)[1]) if ":" in sky_rule else 0.5
+            demoted = jnp.where(supported, probs, (1.0 - w) * probs)
+            toward_sky = (1.0 - w) * probs + w * jnp.where(sky_onehot, 1.0, 0.0)
+            probs = jnp.where(empty[:, None], toward_sky, demoted)
+            empty = None  # the blend decides empty rays; no hard pin
     sem = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     if empty is not None:
         # Applies to both modes: on an empty ray "support" leaves only the

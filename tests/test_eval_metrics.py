@@ -311,6 +311,40 @@ def test_sky_rule_empty_and_support():
     assert fuse("support") == [3, 0, 2]        # p1 confined to road|sky; p2 kept
 
 
+def test_sky_rule_soft_endpoints_and_confidence():
+    """"soft:<w>" is the graded support rule: w=1 matches "support", w=0
+    matches "off", and at intermediate w a CONFIDENT learned prediction on
+    an empty ray survives the sky prior while a weak mixture flips."""
+    from panopticnerf_tpu.eval.panoptic import fuse_panoptic
+
+    things = np.array([False, True, False, False])
+
+    def fuse(logits, fixed, rule):
+        sem, _ = fuse_panoptic(logits, fixed, None, None, None, things,
+                               fixed_blend=0.5, sky_rule=rule, sky_class=3)
+        return np.asarray(sem).tolist()
+
+    rng = np.random.RandomState(1)
+    logits = rng.randn(32, 4).astype(np.float32) * 3
+    fixed = np.abs(rng.randn(32, 4)).astype(np.float32)
+    fixed[::3] = 0.0           # empty rays
+    fixed[1::3, 2] = 0.0       # some unsupported-class pixels
+    assert fuse(logits, fixed, "soft:1") == fuse(logits, fixed, "support")
+    assert fuse(logits, fixed, "soft:0") == fuse(logits, fixed, "off")
+
+    # Empty ray, graded prior: confident road survives w=0.4; a weak
+    # sidewalk/sky mixture flips to sky at the same w.
+    logits2 = np.array([
+        [8.0, 0.0, 0.0, 0.0],   # confident road on an empty ray
+        [0.0, 0.0, 0.6, 0.4],   # weak sidewalk-vs-sky mixture, empty ray
+    ])
+    fixed2 = np.zeros((2, 4))
+    assert fuse(logits2, fixed2, "soft:0.4") == [0, 3]
+    assert fuse(logits2, fixed2, "support") == [3, 3]   # hard rule forces both
+    # bare "soft" defaults to w=0.5
+    assert fuse(logits2, fixed2, "soft") == fuse(logits2, fixed2, "soft:0.5")
+
+
 def test_sky_rule_off_matches_legacy_and_requires_fixed():
     """sky_rule="off" is bit-identical to the pre-knob fusion, and the rule
     is a no-op without a fixed field (nothing to read emptiness from)."""
