@@ -236,6 +236,14 @@ class LossConfig:
     # auto mode). Default off = reference parity; measured decision in
     # BASELINE.md round-5 "empty-sky filter" section.
     empty_sky_filter: bool = False
+    # Graded form of empty_sky_filter (train-time twin of eval.sky_rule
+    # "soft:<w>"): with empty_sky_filter True and this > 0, the non-sky
+    # pseudo labels on no-primitive rays keep this CE weight instead of
+    # being dropped — partial supervision survives at annotation-coverage
+    # edges (the hard filter's measured clean-data cost, BASELINE.md
+    # round-5 empty-sky filter) while the hallucination channel is damped
+    # by (1 - weight). 0 = hard drop (the measured round-5 behavior).
+    empty_sky_weight: float = 0.0
     # Whether the consistency filter ALSO masks the fixed-field 2D CE
     # (fix2d). The papers describe filtering the *learned*-field supervision
     # only; the round-4 ablation (BASELINE.md "late-stage filtering

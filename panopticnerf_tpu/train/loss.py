@@ -118,6 +118,7 @@ def compute_losses(
 
     # --- semantics ---
     has_pseudo = (batch.pseudo != 255) & ray_ok
+    soft_px = None  # graded empty-sky pixels (loss.empty_sky_weight)
     if out.sem_fixed is not None:
         fixed_map = out.sem_fixed                                  # (N, C)
         lab = jnp.clip(batch.pseudo, 0, num_classes - 1)
@@ -146,7 +147,17 @@ def compute_losses(
             if lc.empty_sky_filter:
                 from panopticnerf_tpu.data.labels import sky_train_id
 
-                empty_ok &= batch.pseudo == sky_train_id(num_classes)
+                is_sky = batch.pseudo == sky_train_id(num_classes)
+                if lc.empty_sky_weight > 0:
+                    # Graded form (loss.empty_sky_weight, the train-time
+                    # twin of eval.sky_rule "soft:<w>"): the non-sky labels
+                    # the hard filter drops on empty rays keep a reduced CE
+                    # weight instead — partial supervision survives at
+                    # annotation-coverage edges (the hard filter's measured
+                    # clean-data cost) while the hallucination channel is
+                    # still damped by (1 - weight).
+                    soft_px = has_pseudo & empty_ok & ~is_sky
+                empty_ok &= is_sky
             keep = has_pseudo & (consistent | empty_ok)
         else:
             keep = has_pseudo
@@ -190,12 +201,18 @@ def compute_losses(
             overrule = overrule & ~fixed_backs_pseudo
         demote = overrule & (jnp.asarray(agree_on, jnp.float32) > 0)
         keep = keep & ~demote
+        if soft_px is not None:
+            soft_px = soft_px & ~demote
         stats["agree_demote_frac"] = _mm(
             demote.astype(jnp.float32), jnp.ones_like(demote))
 
     if out.sem_logits is not None and lc.sem2d_weight > 0:
         ce2d = cross_entropy_logits(out.sem_logits, batch.pseudo)
-        l_sem2d = _mm(ce2d, keep)
+        sem2d_w = keep
+        if soft_px is not None:
+            sem2d_w = (keep.astype(jnp.float32)
+                       + lc.empty_sky_weight * soft_px.astype(jnp.float32))
+        l_sem2d = _mm(ce2d, sem2d_w)
         stats["loss_sem2d"] = l_sem2d
         total = total + sem_scale * lc.sem2d_weight * l_sem2d
 

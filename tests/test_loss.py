@@ -326,6 +326,38 @@ def test_empty_sky_filter_starves_empty_ray_hallucinations():
     assert float(s["filter_keep_frac"]) * 3 == pytest.approx(2.0)
 
 
+def test_empty_sky_weight_grades_the_filter():
+    """loss.empty_sky_weight (train-time twin of eval.sky_rule "soft:<w>"):
+    the non-sky empty-ray label the hard filter drops keeps a reduced
+    sem2d CE weight instead. The loss interpolates linearly between the
+    hard-filter (w=0) and unfiltered-exemption (w=1) masked means; the
+    keep_frac stat still reports the hard mask."""
+    sem_fixed = jnp.asarray([
+        [0.0, 0.9, 0.0, 0.0],   # ray 0: consistent             -> weight 1
+        [0.0, 0.0, 0.0, 0.0],   # ray 1: empty, sky label        -> weight 1
+        [0.0, 0.0, 0.0, 0.0],   # ray 2: empty, non-sky label    -> weight w
+    ])
+    out = _out(3, sem_fixed=sem_fixed)
+    batch = _batch(3, [1, 0, 3])
+    base = dict(pseudo_filter=True, weight_th=0.05, sem2d_weight=1.0,
+                fix2d_weight=0.0, sem3d_weight=0.0, depth_weight=0.0,
+                rgb_weight=0.0, empty_sky_filter=True)
+
+    losses = {}
+    for w in (0.0, 0.4, 1.0):
+        total, s = compute_losses(out, batch, _cfg(**base, empty_sky_weight=w))
+        losses[w] = float(s["loss_sem2d"])
+        assert float(s["filter_keep_frac"]) * 3 == pytest.approx(2.0)
+    # w=1 reproduces the unfiltered sky exemption's sem2d mean
+    _, s_off = compute_losses(
+        out, batch, _cfg(**{**base, "empty_sky_filter": False}))
+    assert losses[1.0] == pytest.approx(float(s_off["loss_sem2d"]), rel=1e-6)
+    # weighted masked mean at w: (ce0 + ce1 + w*ce2) / (2 + w)
+    ce = losses  # endpoints pin the interpolation
+    expect = (2 * ce[0.0] + 0.4 * (3 * ce[1.0] - 2 * ce[0.0])) / (2 + 0.4)
+    assert ce[0.4] == pytest.approx(expect, rel=1e-6)
+
+
 def test_sky_train_id_resolution():
     from panopticnerf_tpu.data import labels as L
 
