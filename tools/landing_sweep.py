@@ -48,9 +48,11 @@ def parse_args():
                         "directory holding the step checkpoints (the cfg's "
                         "trained_model_dir for that run)")
     p.add_argument("--blends", type=str, default="0,0.25,0.5,0.75,1")
-    p.add_argument("--sky_rules", type=str, default="off,empty,support",
+    p.add_argument("--sky_rules", type=str,
+                   default="off,empty,support,soft:0.5",
                    help="eval.sky_rule variants to grid over (empty-ray "
-                        "sky prior — eval/panoptic.py)")
+                        "sky prior — eval/panoptic.py; soft:<w> is the "
+                        "graded support rule)")
     p.add_argument("--metric", type=str, default="mean",
                    choices=["mean", "pq", "pq_things", "pq_stuff", "miou"])
     p.add_argument("--out", type=str, default="out/landing_sweep.json")

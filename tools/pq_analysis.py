@@ -65,7 +65,7 @@ def main():
     # ---- sweep: fixed_blend x interval-selection rule x sky rule --------
     rows = fusion_sweep(cached, things, C,
                         [float(b) for b in args.blends.split(",")],
-                        sky_rules=("off", "empty", "support"),
+                        sky_rules=("off", "empty", "support", "soft:0.5"),
                         sky_class=sky_class)
     for row in rows:
         print(json.dumps(row), flush=True)

@@ -19,7 +19,7 @@ timeout 5400 python tools/run_staged.py --synthesize-tree $T --steps 2000 --stag
 PRE=(data.root "$T" data.frame_start 0 data.frame_num 8 data.test_every 4
      data.max_primitives 32 data.max_intervals 12 data.ratio 1.0 render.far 40.0)
 COMMON=("${PRE[@]}" model.coarse_trunk_depth 0 model.coarse_trunk_width 0
-  train.init_from out/fullres/trained_model/panopticnerf/kitti360_semantic
+  train.init_from out/fullres/panopticnerf/kitti360_semantic
   train.pretrain "" train.max_steps 10000 train.epochs 20 train.ep_iter 500
   train.eval_ep 4 train.eval_views 8 model_dir out/fullres)
 

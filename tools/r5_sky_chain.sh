@@ -36,24 +36,24 @@ timeout 5400 python tools/run_staged.py --root $TN --steps 2000 --stages 3 \
 echo "=== [3/6] panoptic 10k fixf NOISY ==="
 timeout 5400 python train_net.py --cfg_file configs/kitti360_panoptic.yaml \
   data.root $TN "${PRE[@]}" "${ARM[@]}" \
-  train.init_from out/fr5_noisy/trained_model/panopticnerf/kitti360_semantic \
+  train.init_from out/fr5_noisy/panopticnerf/kitti360_semantic \
   model_dir out/fr5_noisy exp_name kitti360_panoptic_fixf
 
 echo "=== [4/6] panoptic 10k fixf CLEAN ==="
 timeout 5400 python train_net.py --cfg_file configs/kitti360_panoptic.yaml \
   data.root $T "${PRE[@]}" "${ARM[@]}" \
-  train.init_from out/fr5_clean/trained_model/panopticnerf/kitti360_semantic \
+  train.init_from out/fr5_clean/panopticnerf/kitti360_semantic \
   model_dir out/fr5_clean exp_name kitti360_panoptic_fixf
 
 echo "=== [5/6] sky-rule sweep NOISY ==="
 timeout 3000 python tools/landing_sweep.py --cfg_file configs/kitti360_panoptic.yaml \
-  --ckpts fixf=out/fr5_noisy/trained_model/panopticnerf/kitti360_panoptic_fixf \
+  --ckpts fixf=out/fr5_noisy/panopticnerf/kitti360_panoptic_fixf \
   --blends 0.5,0.75 --sky_rules "$SKY" --out out/ls_r5soft_noisy.json \
   data.root $TN "${PRE[@]}" model.coarse_trunk_depth 0 model.coarse_trunk_width 0
 
 echo "=== [6/6] sky-rule sweep CLEAN ==="
 timeout 3000 python tools/landing_sweep.py --cfg_file configs/kitti360_panoptic.yaml \
-  --ckpts fixf_clean=out/fr5_clean/trained_model/panopticnerf/kitti360_panoptic_fixf \
+  --ckpts fixf_clean=out/fr5_clean/panopticnerf/kitti360_panoptic_fixf \
   --blends 0.5,0.75 --sky_rules "$SKY" --out out/ls_r5soft_clean.json \
   data.root $T "${PRE[@]}" model.coarse_trunk_depth 0 model.coarse_trunk_width 0
 
