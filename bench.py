@@ -125,10 +125,11 @@ def flagship_cfg():
     # YAML config; bench measures the shipped configuration.
     cfg.model.use_pallas = True
     cfg.render.use_pallas_intersect = True
-    # Round-4 shipped default: proposal-sized coarse (quality defense at
-    # full 376x1408 scale in BASELINE.md round-4).
+    # Round-5 shipped default: proposal-sized 4x64 coarse — two independent
+    # full-res 10k save_best defenses (BASELINE.md round-5 "4x64 promoted";
+    # the round-4 4x128 defense stands as the fallback shape).
     cfg.model.coarse_trunk_depth = 4
-    cfg.model.coarse_trunk_width = 128
+    cfg.model.coarse_trunk_width = 64
     # Round-5: eval-only keep-M truncation ships DEFAULT OFF — the round-4
     # quarter-res parity reading did not transfer to the full-res tree
     # (~4.3 dB PSNR cost at keep 96; BASELINE.md round-5 keep-M
